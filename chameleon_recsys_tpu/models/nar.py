@@ -1,0 +1,394 @@
+"""NAR — Next-Article Recommendation model, TPU-native.
+
+Functional re-design of the reference's ``NARModuleModel`` TF1 graph
+(nar_module/nar/nar_model.py:100-728).  One forward pass:
+
+  user-context towers ‖ item features (metadata towers + frozen ACE + trainable
+  item embedding + dynamic recency/novelty vs buffer stats)
+    → learned elementwise scale/center (γ·x+β) → dropout
+    → shared PreCAR Dense(leaky_relu) → CAR Dense(tanh)    [input/pos/neg]
+    → stacked UGRNN over the session → FC1(512, leaky_relu) → FC2(CAR, tanh)
+    → matching MLP 128→64→32→1 on (predicted ⊙ candidate)
+    → temperature softmax over [1 positive ‖ K negatives]
+    → masked XE loss (+ L2 reg, + optional novelty regularization)
+
+Differences from the reference are architectural, not semantic: the frozen
+ACE matrix, article metadata, and popularity/buffer state arrive as device
+arrays threaded through the step (not feed_dict placeholders), all shapes are
+static, and the candidate-scoring tensor [B, T, 1+K, D] is laid out for MXU
+matmuls in the configured compute dtype.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import (
+    ARTICLE_REQ_FEATURES,
+    ArticleFeaturesSchema,
+    NARConfig,
+    SECONDS_PER_DAY,
+    SessionFeaturesSchema,
+    embedding_dim_for_cardinality,
+)
+from ..ops.normalization import log1p_base, log_base, normalize_values
+from ..ops.rnn import StackedUGRNN
+from .towers import FeatureTowers
+
+_he_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+_lecun_uniform = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
+
+
+class NARAux(NamedTuple):
+    """Non-trainable device inputs to the forward pass (the reference feeds
+    these via placeholders every batch, nar_model.py:1458-1467)."""
+
+    ace_matrix: jax.Array  # [num_items, ace_dim] frozen content embeddings
+    metadata: Dict[str, jax.Array]  # per-article metadata columns [num_items]
+    recent_pop_norm: jax.Array  # [num_items] f32
+    buffer_ids: jax.Array  # [buffer_size] int32 newest-first
+
+
+class NAROutputs(NamedTuple):
+    items_prob: jax.Array  # [B, T, 1+K]
+    candidate_ids: jax.Array  # [B, T, 1+K] (positive first)
+    loss_mask: jax.Array  # [B, T] f32
+    ce_loss: jax.Array  # scalar
+    nov_reg_loss: jax.Array  # scalar (0 when disabled)
+    predicted_ids: Optional[jax.Array]  # [B, T, 1+K] ranked by prob desc
+    predicted_probs: Optional[jax.Array]  # [B, T, 1+K] sorted probs
+
+
+class NARModel(nn.Module):
+    cfg: NARConfig
+    session_schema: SessionFeaturesSchema
+    article_schema: ArticleFeaturesSchema
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    # -- dynamic features ---------------------------------------------------
+    def _buffer_stat_ids(self, aux: NARAux) -> Tuple[jax.Array, jax.Array]:
+        """First ``recent_clicks_for_normalization`` buffer entries + mask
+        (reference get_last_items_from_recent_clicks_buffer,
+        nar_model.py:1041-1044; the buffer is compacted so a prefix slice
+        equals 'first N non-zero')."""
+        n = self.cfg.recent_clicks_for_normalization
+        ids = aux.buffer_ids[:n]
+        return ids, ids != 0
+
+    def _recency_feature(self, item_ids, ref_ts, aux: NARAux):
+        """Normalized elapsed-days-since-publishing
+        (reference nar_model.py:1055-1131).  ``ref_ts`` broadcasts against
+        ``item_ids``; output gains a trailing channel axis."""
+        cfg = self.cfg
+        created = aux.metadata["created_at_ts"][item_ids]
+        elapsed_days = jax.nn.relu(
+            (ref_ts.astype(jnp.float32) - created.astype(jnp.float32))
+            / SECONDS_PER_DAY
+        )
+        smoothed = log1p_base(elapsed_days, cfg.elapsed_days_smooth_log_base)
+
+        stat_ids, stat_mask = self._buffer_stat_ids(aux)
+        stat_created = aux.metadata["created_at_ts"][stat_ids]
+        max_batch_ts = jnp.max(ref_ts).astype(jnp.float32)
+        stat_elapsed = jax.nn.relu(
+            (max_batch_ts - stat_created.astype(jnp.float32)) / SECONDS_PER_DAY
+        )
+        stat_smoothed = log1p_base(stat_elapsed, cfg.elapsed_days_smooth_log_base)
+
+        # First-batch fallback: when the buffer is empty, stats come from the
+        # batch itself (reference tf.cond, nar_model.py:1080-1084).  Encoded
+        # with fixed shapes by concatenating both candidate stat sources and
+        # masking exactly one of them in.
+        buffer_empty = ~jnp.any(stat_mask)
+        batch_vals = smoothed.reshape(-1)
+        batch_mask = (item_ids != 0).reshape(-1) & buffer_empty
+        stats_values = jnp.concatenate([stat_smoothed, batch_vals])
+        stats_mask = jnp.concatenate([stat_mask, batch_mask])
+
+        normed = normalize_values(smoothed, stats_values, stats_mask)
+        return normed[..., None]
+
+    def _novelty_feature(self, item_ids, aux: NARAux):
+        """Standardized popularity novelty −log₂(pop_norm)
+        (reference nar_model.py:1147-1193)."""
+        cfg = self.cfg
+        norm_pop = aux.recent_pop_norm[item_ids]
+        novelty = -log_base(norm_pop, cfg.popularity_smooth_log_base)
+
+        stat_ids, stat_mask = self._buffer_stat_ids(aux)
+        stat_novelty = -log_base(
+            aux.recent_pop_norm[stat_ids], cfg.popularity_smooth_log_base
+        )
+
+        buffer_empty = ~jnp.any(stat_mask)
+        batch_vals = novelty.reshape(-1)
+        batch_mask = (item_ids != 0).reshape(-1) & buffer_empty
+        stats_values = jnp.concatenate([stat_novelty, batch_vals])
+        stats_mask = jnp.concatenate([stat_mask, batch_mask])
+
+        normed = normalize_values(novelty, stats_values, stats_mask)
+        return normed[..., None]
+
+    # -- item feature assembly ---------------------------------------------
+    def _make_item_features_fn(self, aux: NARAux):
+        """Build the shared get_item_features closure
+        (reference nar_model.py:921-994).  The metadata towers and trainable
+        item-embedding table are created ONCE and shared across the
+        input / positive / negative calls, matching the reference's
+        AUTO_REUSE variable scoping (nar_model.py:913, 1199)."""
+        cfg = self.cfg
+        dtype = self._dtype()
+
+        metadata_specs = self.article_schema.metadata_features()
+        metadata_towers = (
+            FeatureTowers(
+                metadata_specs,
+                cfg.max_cardinality_for_ohe,
+                dtype=dtype,
+                name="article_metadata_towers",
+            )
+            if metadata_specs
+            else None
+        )
+        item_embed = None
+        if cfg.internal_features.item_clicked_embeddings:
+            num_items = self.article_schema.num_items
+            item_embed = nn.Embed(
+                num_embeddings=num_items,
+                features=embedding_dim_for_cardinality(
+                    num_items, cfg.item_embedding_const_mult
+                ),
+                embedding_init=nn.initializers.glorot_uniform(),
+                dtype=dtype,
+                name="item_clicked_embedding",
+            )
+
+        def item_features(item_ids, ref_ts):
+            feats = []
+            if metadata_towers is not None:
+                gathered = {
+                    spec.name: aux.metadata[spec.name][item_ids]
+                    for spec in metadata_specs
+                }
+                feats.append(metadata_towers(gathered))
+            if cfg.internal_features.article_content_embeddings:
+                feats.append(aux.ace_matrix[item_ids].astype(dtype))
+            if item_embed is not None:
+                feats.append(item_embed(item_ids))
+            if cfg.internal_features.recency:
+                feats.append(
+                    self._recency_feature(item_ids, ref_ts, aux).astype(dtype)
+                )
+            if cfg.internal_features.novelty:
+                feats.append(self._novelty_feature(item_ids, aux).astype(dtype))
+            return jnp.concatenate(feats, axis=-1)
+
+        return item_features
+
+    # -- forward ------------------------------------------------------------
+    @nn.compact
+    def __call__(
+        self,
+        batch: Dict[str, jax.Array],
+        aux: NARAux,
+        neg_items: jax.Array,  # [B, T, K]
+        *,
+        train: bool,
+        rank: bool = False,
+    ) -> NAROutputs:
+        cfg = self.cfg
+        dtype = self._dtype()
+
+        item_clicked = batch["item_clicked"]  # [B, T]
+        next_item_label = batch["label_next_item"]  # [B, T]
+        b, t = item_clicked.shape
+        k = neg_items.shape[-1]
+
+        seq_lengths = batch["session_size"].astype(jnp.int32) - 1
+        mask = jnp.arange(t)[None, :] < seq_lengths[:, None]  # [B, T]
+        loss_mask = mask.astype(jnp.float32)
+
+        event_ts = batch["event_timestamp"]  # [B, T] int32 seconds
+        max_event_ts = jnp.max(event_ts)
+
+        # ---- user context towers (nar_model.py:314-325) ----
+        ctx_specs = self.session_schema.context_sequence_features()
+        if ctx_specs:
+            user_ctx = FeatureTowers(
+                ctx_specs,
+                cfg.max_cardinality_for_ohe,
+                dtype=dtype,
+                name="user_context_towers",
+            )({s.name: batch[s.name] for s in ctx_specs})
+        else:
+            user_ctx = jnp.zeros((b, t, 1), dtype)
+
+        # ---- shared scale/center + dropout (nar_model.py:887-907, 332-370) ----
+        # γ/β are created on first use and shared across the input / positive /
+        # negative calls (reference AUTO_REUSE scope, nar_model.py:890).
+        _sc_params = {}
+
+        def scale_center(x):
+            if not _sc_params:
+                feat_dim = x.shape[-1]
+                _sc_params["gamma"] = self.param(
+                    "gamma_scale", nn.initializers.ones, (feat_dim,), jnp.float32
+                )
+                _sc_params["beta"] = self.param(
+                    "beta_center", nn.initializers.zeros, (feat_dim,), jnp.float32
+                )
+            gamma = _sc_params["gamma"].astype(x.dtype)
+            beta = _sc_params["beta"].astype(x.dtype)
+            return x * gamma + beta
+
+        dropout = nn.Dropout(rate=1.0 - cfg.keep_prob)
+        item_features = self._make_item_features_fn(aux)
+
+        input_item_feats = item_features(item_clicked, event_ts)
+        input_feats = scale_center(jnp.concatenate([user_ctx, input_item_feats], -1))
+        input_feats = dropout(input_feats, deterministic=not train)
+
+        pos_item_feats = item_features(next_item_label, max_event_ts)
+        pos_feats = scale_center(jnp.concatenate([user_ctx, pos_item_feats], -1))
+        pos_feats = dropout(pos_feats, deterministic=not train)
+
+        neg_item_feats = item_features(neg_items, max_event_ts)
+        user_ctx_tiled = jnp.broadcast_to(
+            user_ctx[:, :, None, :], (b, t, k, user_ctx.shape[-1])
+        )
+        neg_feats = scale_center(
+            jnp.concatenate([user_ctx_tiled, neg_item_feats], -1)
+        )
+        neg_feats = dropout(neg_feats, deterministic=not train)
+
+        # ---- shared CAR towers (nar_model.py:374-405) ----
+        pre_car = nn.Dense(
+            cfg.car_embedding_size,
+            kernel_init=_he_init,
+            dtype=dtype,
+            name="PreCAR",
+        )
+        car = nn.Dense(
+            cfg.car_embedding_size,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=dtype,
+            name="CAR",
+        )
+
+        def car_tower(x):
+            return jnp.tanh(car(nn.leaky_relu(pre_car(x))))
+
+        input_car = car_tower(input_feats)  # [B, T, C]
+        pos_car = car_tower(pos_feats)  # [B, T, C]
+        neg_car = car_tower(neg_feats)  # [B, T, K, C]
+
+        # ---- session encoder (nar_model.py:407-438) ----
+        rnn_out = StackedUGRNN(
+            cfg.rnn_units,
+            cfg.rnn_num_layers,
+            keep_prob=cfg.keep_prob,
+            dtype=dtype,
+            name="rnn",
+        )(input_car, mask, deterministic=not train)
+
+        fc1 = nn.Dense(512, kernel_init=_he_init, dtype=dtype, name="session_FC1")
+        fc2 = nn.Dense(
+            cfg.car_embedding_size,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=dtype,
+            name="session_FC2",
+        )
+        h = nn.leaky_relu(fc1(rnn_out))
+        h = dropout(h, deterministic=not train)
+        predicted_emb = jnp.tanh(fc2(h))  # [B, T, C]
+
+        # ---- matching MLP over elementwise products (nar_model.py:444-505) ----
+        matching = [
+            nn.Dense(u, kernel_init=_he_init, dtype=dtype, name=f"matching_{i+1}")
+            for i, u in enumerate(cfg.matching_layer_sizes)
+        ]
+        matching_out = nn.Dense(
+            1, kernel_init=_lecun_uniform, dtype=dtype, name="matching_out"
+        )
+
+        def match_score(x):
+            for layer in matching:
+                x = nn.leaky_relu(layer(x))
+            return matching_out(x)[..., 0]
+
+        pos_score = match_score(pos_car * predicted_emb)  # [B, T]
+        neg_score = match_score(neg_car * predicted_emb[:, :, None, :])  # [B, T, K]
+
+        scores = jnp.concatenate([pos_score[..., None], neg_score], axis=-1)
+        scores = scores.astype(jnp.float32) / cfg.softmax_temperature
+        items_prob = jax.nn.softmax(scores, axis=-1)  # [B, T, 1+K]
+
+        # ---- masked XE loss (nar_model.py:639-667) ----
+        positive_prob = items_prob[..., 0]
+        denom = jnp.maximum(jnp.sum(loss_mask), 1.0)
+        ce_loss = -jnp.sum(jnp.log(positive_prob + 1e-24) * loss_mask) / denom
+
+        # ---- optional novelty regularization (nar_model.py:673-683) ----
+        if cfg.novelty_reg_factor > 0.0:
+            neg_prob = jax.nn.softmax(
+                neg_score.astype(jnp.float32) / cfg.softmax_temperature, axis=-1
+            )
+            neg_norm_pop = aux.recent_pop_norm[neg_items]
+            neg_novelty = -log_base(neg_norm_pop, cfg.popularity_smooth_log_base)
+            masked_nov = cfg.novelty_reg_factor * jnp.sum(
+                neg_prob * neg_novelty * loss_mask[..., None], axis=-1
+            )
+            nov_reg_loss = jnp.sum(masked_nov) / denom
+        else:
+            nov_reg_loss = jnp.zeros(())
+
+        candidate_ids = jnp.concatenate(
+            [next_item_label[..., None], neg_items], axis=-1
+        )
+
+        predicted_ids = predicted_probs = None
+        if rank:
+            # rank_items_by_predicted_prob (nar_model.py:777-794)
+            predicted_probs, order = jax.lax.top_k(items_prob, items_prob.shape[-1])
+            predicted_ids = jnp.take_along_axis(candidate_ids, order, axis=-1)
+
+        return NAROutputs(
+            items_prob=items_prob,
+            candidate_ids=candidate_ids,
+            loss_mask=loss_mask,
+            ce_loss=ce_loss,
+            nov_reg_loss=nov_reg_loss,
+            predicted_ids=predicted_ids,
+            predicted_probs=predicted_probs,
+        )
+
+
+# ---------------------------------------------------------------------------
+# L2 regularization
+# ---------------------------------------------------------------------------
+
+_UNREGULARIZED_LEAVES = ("bias", "recurrent_bias")
+_UNREGULARIZED_MODULES = ("rnn",)  # UGRNN cell vars carry no regularizer in the
+# reference (nar_model.py:1308-1338); Dense kernels, embeddings and γ/β do
+# (kernel_regularizer / get_variable(regularizer=...), e.g. :375-388, :739-740,
+# :891-898).
+
+
+def l2_regularization(params, weight_decay: float) -> jax.Array:
+    """Σ λ·‖w‖²/2 over regularized parameters, matching
+    tf.losses.get_regularization_loss in the reference graph."""
+    total = 0.0
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for path, leaf in flat:
+        keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        if any(k in _UNREGULARIZED_LEAVES for k in keys):
+            continue
+        if any(k in _UNREGULARIZED_MODULES for k in keys):
+            continue
+        total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32))) / 2.0
+    return weight_decay * total

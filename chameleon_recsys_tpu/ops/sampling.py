@@ -1,0 +1,153 @@
+"""Fixed-shape, fully-vectorized negative sampling.
+
+Reproduces the semantics of the reference's in-graph sampler
+(nar_module/nar/nar_model.py:1220-1304) — which is a dynamic-shape nested
+``tf.map_fn`` per session × per click, the reference's known graph-side
+bottleneck — as static-shape XLA ops:
+
+  1. candidates = batch clicks (with repetition → popularity bias) ∪ a random
+     sample of the recent-clicks buffer, shuffled, first ``mult*K`` kept
+     (nar_model.py:1281-1304);
+  2. per session, candidates clicked inside the session are excluded
+     (tf.setdiff1d, nar_model.py:1257-1259);
+  3. per click, candidates are shuffled, de-duplicated keeping the first
+     occurrence, and the first K kept, zero-padded (nar_model.py:1239-1254).
+
+Step 3's shuffle→unique→take-K is reproduced exactly by the "min-random-key
+per distinct value" construction: give every occurrence an i.i.d. uniform
+key; a value with m occurrences survives with key = min of m uniforms, which
+is precisely the distribution of its first position in a uniform shuffle.
+The per-value min is computed with a segmented cumulative-min scan over a
+value-sorted layout (one session-level sort, then O(log NC) vector steps per
+click) — no scatter, no dynamic shapes, VPU-friendly.
+
+Known reference quirk preserved: article id 0 is never sampled because
+padding shares value 0 (nar_model.py:253).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_INF = jnp.float32(jnp.inf)
+
+
+def sample_from_buffer(rng: jax.Array, buffer_ids: jax.Array, sample_size: int) -> jax.Array:
+    """Random sample (without replacement) of non-zero buffer entries.
+
+    Twin of get_sample_from_recently_clicked_items_buffer
+    (nar_model.py:1220-1233): shuffle the compacted buffer, take the first
+    ``sample_size``.  Under-full buffers yield 0-padding.
+    """
+    keys = jax.random.uniform(rng, buffer_ids.shape)
+    keys = jnp.where(buffer_ids != 0, keys, _INF)
+    neg_keys, idx = lax.top_k(-keys, sample_size)
+    picked = buffer_ids[idx]
+    return jnp.where(jnp.isfinite(neg_keys), picked, 0)
+
+
+def _segmented_cummin(values: jax.Array, reset: jax.Array) -> jax.Array:
+    """Left-to-right cumulative min that restarts where ``reset`` is True.
+
+    Implemented with an associative scan (log-depth, fully vectorized).
+    """
+
+    def combine(left, right):
+        f1, m1 = left
+        f2, m2 = right
+        return f1 | f2, jnp.where(f2, m2, jnp.minimum(m1, m2))
+
+    _, out = lax.associative_scan(combine, (reset, values), axis=-1)
+    return out
+
+
+def _session_sort(candidates: jax.Array):
+    """Session-level layout: sort candidates by value and mark segment ends."""
+    perm = jnp.argsort(candidates)
+    sorted_vals = candidates[perm]
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_vals[1:] != sorted_vals[:-1]]
+    )
+    seg_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+    return perm, sorted_vals, new_seg, seg_end
+
+
+def _per_click_topk(u, perm, sorted_vals, new_seg, seg_end, valid_sorted, k):
+    """First-K distinct valid candidates of one simulated shuffle."""
+    u_sorted = u[perm]
+    u_sorted = jnp.where(valid_sorted, u_sorted, _INF)
+    run_min = _segmented_cummin(u_sorted, new_seg)
+    # One representative per distinct value, carrying the min key of its run.
+    key = jnp.where(seg_end & valid_sorted, run_min, _INF)
+    neg_key, idx = lax.top_k(-key, k)
+    vals = sorted_vals[idx]
+    return jnp.where(jnp.isfinite(neg_key), vals, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_negatives", "buffer_sample_size", "mult"))
+def sample_negatives(
+    rng: jax.Array,
+    all_clicked_items: jax.Array,
+    buffer_ids: jax.Array,
+    *,
+    num_negatives: int,
+    buffer_sample_size: int,
+    mult: int = 20,
+) -> jax.Array:
+    """Sample ``num_negatives`` per (session, click).
+
+    Args:
+      rng: PRNG key.
+      all_clicked_items: int32 [B, L] inputs + final label column, 0-padded
+        (the caller passes ``concat([item_clicked, label_last_item])``,
+        nar_model.py:241).
+      buffer_ids: int32 [buffer_size] recent-clicks buffer (newest-first).
+
+    Returns:
+      int32 [B, L, num_negatives]; the caller drops the final column
+      (nar_model.py:275).
+    """
+    b, l = all_clicked_items.shape
+    # Pools smaller than mult*K simply yield fewer candidates, like the
+    # reference's [:mult*K] slice of the shuffled pool (nar_model.py:1300).
+    nc = min(num_negatives * mult, b * l + buffer_sample_size)
+    rng_buf, rng_pool, rng_u = jax.random.split(rng, 3)
+
+    buffer_sample = sample_from_buffer(rng_buf, buffer_ids, buffer_sample_size)
+
+    # Candidate pool: batch items with repetitions (popularity-biased) plus
+    # the buffer sample; shuffle and keep the first mult*K (nar_model.py:1286-1300).
+    pool = jnp.concatenate(
+        [all_clicked_items.reshape(-1).astype(jnp.int32), buffer_sample]
+    )
+    pool_keys = jax.random.uniform(rng_pool, pool.shape)
+    pool_keys = jnp.where(pool != 0, pool_keys, _INF)
+    neg_keys, idx = lax.top_k(-pool_keys, nc)
+    cand = jnp.where(jnp.isfinite(neg_keys), pool[idx], 0)  # [NC]
+
+    # Per-session exclusion of in-session items (nar_model.py:1257-1259).
+    def session_valid(sess_items):
+        hit = jnp.any(cand[:, None] == sess_items[None, :], axis=-1)
+        return (cand != 0) & ~hit
+
+    valid = jax.vmap(session_valid)(all_clicked_items)  # [B, NC]
+
+    perm, sorted_vals, new_seg, seg_end = _session_sort(cand)
+    valid_sorted = jax.vmap(lambda v: v[perm])(valid)  # [B, NC]
+
+    u = jax.random.uniform(rng_u, (b, l, cand.shape[0]))
+
+    def per_session(u_s, valid_sorted_s, clicks_s):
+        def per_click(u_c, click_id):
+            neg = _per_click_topk(
+                u_c, perm, sorted_vals, new_seg, seg_end, valid_sorted_s,
+                num_negatives,
+            )
+            return jnp.where(click_id != 0, neg, jnp.zeros_like(neg))
+
+        return jax.vmap(per_click)(u_s, clicks_s)
+
+    return jax.vmap(per_session)(u, valid_sorted, all_clicked_items)

@@ -1,0 +1,224 @@
+"""Jitted NAR train / eval steps.
+
+The reference crosses the Python↔runtime boundary twice per batch to inject
+and harvest the streaming state (nar_model.py:1434-1470).  Here ONE pure
+function owns the whole step — negative sampling, forward, loss, Adam update,
+and the streaming-state transition — so XLA sees a single fused program and
+the state never leaves the device:
+
+    (state, batch) → (state', metrics)
+
+Eval uses the same skeleton in a second jitted program (different sampling
+sizes, ranking enabled, no parameter update) and additionally returns the
+ranked candidate lists for the host-side streaming metric suite.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ArticleFeaturesSchema, NARConfig, SessionFeaturesSchema
+from ..models.nar import NARAux, NARModel, NAROutputs, l2_regularization
+from ..ops.sampling import sample_negatives
+from ..state.stream_state import StreamState, init_stream_state, update_stream_state
+
+
+class NARTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    stream: StreamState
+    rng: jax.Array
+    step: jax.Array
+
+
+def _batch_all_clicks(batch) -> Tuple[jax.Array, jax.Array]:
+    """All clicked ids/timestamps incl. the final label column.
+
+    The final label's timestamp is unknown; the reference reuses the session's
+    max click timestamp (nar_model.py:1641-1643).
+    """
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    ts = batch["event_timestamp"]
+    last_ts = jnp.max(ts, axis=1, keepdims=True)
+    all_ts = jnp.concatenate([ts, last_ts], axis=1)
+    all_ts = jnp.where(all_clicked != 0, all_ts, 0)
+    return all_clicked, all_ts
+
+
+def device_ranking_metrics(
+    predicted_ids: jax.Array,  # [B, T, 1+K] ranked desc
+    labels: jax.Array,  # [B, T]
+    loss_mask: jax.Array,  # [B, T]
+    top_n: int,
+) -> Dict[str, jax.Array]:
+    """In-graph HR@N / MRR@N sums (reference nar_model.py:797-885), returned
+    as (numerator, count) pairs for streaming accumulation."""
+    topn_ids = predicted_ids[..., :top_n]
+    hits = topn_ids == labels[..., None]  # [B, T, topn]
+    hit = jnp.any(hits, axis=-1).astype(jnp.float32) * loss_mask
+    first_pos = jnp.argmax(hits, axis=-1)
+    rr = jnp.where(
+        jnp.any(hits, axis=-1), 1.0 / (1.0 + first_pos.astype(jnp.float32)), 0.0
+    )
+    rr = rr * loss_mask
+    count = jnp.sum(loss_mask)
+    return {
+        "hit_sum": jnp.sum(hit),
+        "rr_sum": jnp.sum(rr),
+        "label_count": count,
+    }
+
+
+def build_nar_train(
+    cfg: NARConfig,
+    session_schema: SessionFeaturesSchema,
+    article_schema: ArticleFeaturesSchema,
+):
+    """Returns (model, optimizer, jitted train_step, jitted eval_step)."""
+    model = NARModel(cfg, session_schema, article_schema)
+    optimizer = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+
+    def _forward_and_negatives(params, stream, batch, aux_consts, rng, *,
+                               train, rank, k, m):
+        ace_matrix, metadata = aux_consts
+        aux = NARAux(
+            ace_matrix=ace_matrix,
+            metadata=metadata,
+            recent_pop_norm=stream.recent_pop_norm,
+            buffer_ids=stream.buffer_ids,
+        )
+        rng_neg, rng_drop = jax.random.split(rng)
+        all_clicked, all_ts = _batch_all_clicks(batch)
+        neg = sample_negatives(
+            rng_neg,
+            all_clicked,
+            stream.buffer_ids,
+            num_negatives=k,
+            buffer_sample_size=m,
+            mult=cfg.neg_sampling_multiplying_factor,
+        )[:, :-1, :]
+        out = model.apply(
+            {"params": params},
+            batch,
+            aux,
+            neg,
+            train=train,
+            rank=rank,
+            rngs={"dropout": rng_drop} if train else {},
+        )
+        return out, (all_clicked, all_ts)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: NARTrainState, batch, ace_matrix, metadata):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            out, clicks = _forward_and_negatives(
+                params, state.stream, batch, (ace_matrix, metadata), step_rng,
+                train=True, rank=False,
+                k=cfg.negative_samples, m=cfg.negative_sample_from_buffer,
+            )
+            reg = l2_regularization(params, cfg.reg_weight_decay)
+            total = out.ce_loss + reg - out.nov_reg_loss
+            return total, (out, clicks, reg)
+
+        (total_loss, (out, (all_clicked, all_ts), reg)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        stream = update_stream_state(state.stream, all_clicked, all_ts, cfg)
+
+        metrics = {
+            "loss": total_loss,
+            "ce_loss": out.ce_loss,
+            "reg_loss": reg,
+            "sessions": jnp.sum(batch["session_size"] > 0),
+            "clicks": jnp.sum(out.loss_mask),
+        }
+        return (
+            NARTrainState(params, opt_state, stream, rng, state.step + 1),
+            metrics,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def eval_step(state: NARTrainState, batch, ace_matrix, metadata):
+        """Eval updates the stream state too (the temporal protocol trains
+        baselines/popularity through the eval hour, then the harness restores
+        the pre-eval snapshot — reference nar_model.py:1410-1415, 1691-1693)."""
+        rng, step_rng = jax.random.split(state.rng)
+        out, (all_clicked, all_ts) = _forward_and_negatives(
+            state.params, state.stream, batch, (ace_matrix, metadata), step_rng,
+            train=False, rank=True,
+            k=cfg.eval_negative_samples, m=cfg.eval_negative_sample_from_buffer,
+        )
+        dev_metrics = device_ranking_metrics(
+            out.predicted_ids, batch["label_next_item"], out.loss_mask,
+            cfg.metrics_top_n,
+        )
+        dev_metrics["ce_loss"] = out.ce_loss
+        dev_metrics["clicks"] = jnp.sum(out.loss_mask)
+        dev_metrics["sessions"] = jnp.sum(batch["session_size"] > 0)
+        fetches = {
+            "predicted_ids": out.predicted_ids,
+            "predicted_probs": out.predicted_probs,
+            "labels": batch["label_next_item"],
+            "neg_items": out.candidate_ids[..., 1:],
+            "clicked_items": batch["item_clicked"],
+            "recent_pop_norm": state.stream.recent_pop_norm,
+        }
+        new_state = NARTrainState(
+            state.params,
+            state.opt_state,
+            update_stream_state(state.stream, all_clicked, all_ts, cfg),
+            rng,
+            state.step + 1,
+        )
+        return new_state, dev_metrics, fetches
+
+    return model, optimizer, train_step, eval_step
+
+
+def nar_init_state(
+    cfg: NARConfig,
+    session_schema: SessionFeaturesSchema,
+    article_schema: ArticleFeaturesSchema,
+    example_batch,
+    ace_matrix,
+    metadata,
+    seed: int = 42,
+) -> Tuple[NARModel, Any, NARTrainState]:
+    model, optimizer, _, _ = build_nar_train(cfg, session_schema, article_schema)
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    stream = init_stream_state(cfg, article_schema.num_items)
+    aux = NARAux(
+        ace_matrix=ace_matrix,
+        metadata=metadata,
+        recent_pop_norm=stream.recent_pop_norm,
+        buffer_ids=stream.buffer_ids,
+    )
+    t = cfg.max_inputs_length
+    neg = jnp.zeros(
+        (example_batch["item_clicked"].shape[0], t, cfg.negative_samples),
+        jnp.int32,
+    )
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng},
+        example_batch,
+        aux,
+        neg,
+        train=False,
+    )
+    params = variables["params"]
+    opt_state = optimizer.init(params)
+    state = NARTrainState(
+        params, opt_state, stream, rng, jnp.zeros((), jnp.int32)
+    )
+    return model, optimizer, state
