@@ -1,0 +1,135 @@
+"""Classical baseline recommenders sharing the NAR eval contract.
+
+Re-creation of the reference benchmark layer
+(nar_module/nar/benchmarks/benchmarks.py:13-68): every baseline
+
+  * trains incrementally on each batch's sessions (both train and eval
+    batches — the reference attaches the same hook in both modes,
+    nar_trainer_gcom.py:305-316, nar_model.py:1628-1632);
+  * predicts, per click, a top-k ranking restricted to ``valid_items`` =
+    [next-click label ‖ that click's sampled negatives];
+  * streams the same metric suite as CHAMELEON.
+
+Baselines are host-side numpy by nature (dict/sparse structures); they read
+the device streaming state through a ``StreamStateView`` snapshot.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..metrics.evaluation import compute_metrics_results, update_metrics
+from ..state.host_state import HostState
+
+
+class StreamStateView:
+    """Numpy snapshot of the device StreamState + the host-side structures,
+    presenting the accessor surface baselines need."""
+
+    def __init__(
+        self,
+        host_state: HostState,
+        buffer_ids: np.ndarray,
+        recent_pop_norm: np.ndarray,
+        global_pop: np.ndarray,
+    ):
+        self.host_state = host_state
+        self._buffer_ids = np.asarray(buffer_ids)
+        self._recent_pop_norm = np.asarray(recent_pop_norm)
+        self._global_pop = np.asarray(global_pop)
+
+    def get_recent_clicks_buffer(self) -> np.ndarray:
+        return self._buffer_ids
+
+    def get_articles_recent_pop_norm(self) -> np.ndarray:
+        return self._recent_pop_norm
+
+    def get_articles_pop(self) -> np.ndarray:
+        return self._global_pop
+
+    def get_items_coocurrences(self):
+        return self.host_state.items_coocurrences
+
+    @property
+    def benchmarks_states(self) -> Dict[str, object]:
+        return self.host_state.benchmarks_states
+
+    def refresh(self, buffer_ids, recent_pop_norm, global_pop):
+        self._buffer_ids = np.asarray(buffer_ids)
+        self._recent_pop_norm = np.asarray(recent_pop_norm)
+        self._global_pop = np.asarray(global_pop)
+
+
+def fill_ranked_topk(ranked_ids, valid_items, topk: int) -> np.ndarray:
+    """First ``topk`` entries of ``ranked_ids`` that appear in ``valid_items``,
+    zero-padded (reference _get_top_n_valid_items, benchmarks.py:57-68)."""
+    out = np.zeros(topk, np.int64)
+    if len(ranked_ids) == 0:
+        return out
+    ranked = np.asarray(ranked_ids)
+    if valid_items is not None:
+        ranked = ranked[np.isin(ranked, valid_items)]
+    n = min(topk, len(ranked))
+    out[:n] = ranked[:n]
+    return out
+
+
+class BenchmarkRecommender:
+    def __init__(self, state_view: StreamStateView, params: dict, streaming_metrics):
+        self.state_view = state_view
+        self.params = params
+        self.streaming_metrics = streaming_metrics
+        self.cold_start_state = None  # attached by the harness when enabled
+
+    def get_clf_suffix(self) -> str:
+        return ""
+
+    def get_description(self) -> str:
+        return ""
+
+    def reset_eval_metrics(self):
+        for metric in self.streaming_metrics:
+            metric.reset()
+
+    def train(self, users_ids, sessions_ids, sessions_items, sessions_next_items):
+        pass
+
+    def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        raise NotImplementedError
+
+    def get_valid_candidate_items(self, sessions_next_items, eval_negative_items):
+        return np.concatenate(
+            [np.expand_dims(sessions_next_items, 2), eval_negative_items], axis=2
+        )
+
+    def evaluate(
+        self, users_ids, sessions_items, sessions_next_items, topk=5,
+        eval_negative_items=None,
+    ) -> Dict[str, float]:
+        valid_items = self.get_valid_candidate_items(
+            sessions_next_items, eval_negative_items
+        )
+        preds = self.predict(
+            users_ids, sessions_items, topk=topk, valid_items=valid_items
+        )
+        pop_norm = self.state_view.get_articles_recent_pop_norm()
+        update_metrics(
+            preds,
+            sessions_next_items,
+            pop_norm[sessions_next_items],
+            pop_norm[preds],
+            sessions_items,
+            self.streaming_metrics,
+            recommender=self.get_clf_suffix(),
+        )
+        return compute_metrics_results(
+            self.streaming_metrics, recommender=self.get_clf_suffix()
+        )
+
+    # shared iteration helper: yields (row, col, item) for valid clicks
+    @staticmethod
+    def _valid_click_coords(sessions_items):
+        rows, cols = np.nonzero(sessions_items)
+        for r, c in zip(rows, cols):
+            yield r, c, sessions_items[r, c]

@@ -1,0 +1,50 @@
+"""CB — Content-Based similarity over ACE vectors
+(reference nar_module/nar/benchmarks/content_based.py:10-57).
+
+The candidate set per batch is the union of valid items; similarities for all
+valid clicks are computed in one matrix product instead of per-click
+sklearn calls.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return np.divide(x, n, out=np.zeros_like(x, dtype=np.float64), where=n > 0)
+
+
+class ContentBasedRecommender(BenchmarkRecommender):
+    def get_clf_suffix(self):
+        return "cb"
+
+    def get_description(self):
+        return "Content-Based similarity"
+
+    def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        ace = np.asarray(self.params["content_article_embeddings_matrix"])
+
+        if valid_items is None:
+            buffer_ids = self.state_view.get_recent_clicks_buffer()
+            candidates = np.unique(buffer_ids[buffer_ids != 0])
+        else:
+            candidates = np.unique(valid_items)
+        cand_emb = _normalize_rows(ace[candidates])
+
+        preds = np.zeros(
+            (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
+        )
+        rows, cols = np.nonzero(sessions_items)
+        if len(rows) == 0:
+            return preds
+        click_items = sessions_items[rows, cols]
+        click_emb = _normalize_rows(ace[click_items])
+        sims = click_emb @ cand_emb.T  # [num_clicks, num_candidates]
+        order = np.argsort(-sims, axis=1, kind="stable")
+        ranked_all = candidates[order]
+        for i, (r, c) in enumerate(zip(rows, cols)):
+            preds[r, c] = fill_ranked_topk(ranked_all[i], valid_items[r, c], topk)
+        return preds

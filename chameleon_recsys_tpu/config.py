@@ -265,7 +265,7 @@ def gcom_session_schema(
             FeatureSpec("region", "categorical", 29),
             FeatureSpec("local_hour_sin", "numerical", dtype="float"),
             FeatureSpec("local_hour_cos", "numerical", dtype="float"),
-            FeatureSpec("weekday", "numerical", dtype="float"),
-            FeatureSpec("referrer_class", "categorical", 8),
+            FeatureSpec("local_weekday", "numerical", dtype="float"),
+            FeatureSpec("referrer_type", "categorical", 8),
         ),
     )

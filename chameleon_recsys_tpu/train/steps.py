@@ -14,7 +14,6 @@ ranked candidate lists for the host-side streaming metric suite.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
@@ -75,12 +74,24 @@ def device_ranking_metrics(
     }
 
 
+class NARPrograms(NamedTuple):
+    """Compiled step programs plus their un-jitted bodies (the raw functions
+    are re-jitted with explicit shardings for multi-chip execution — see
+    parallel/mesh.py and __graft_entry__.dryrun_multichip)."""
+
+    model: Any
+    optimizer: Any
+    train_step: Any  # jitted
+    eval_step: Any  # jitted
+    train_step_fn: Any  # pure
+    eval_step_fn: Any  # pure
+
+
 def build_nar_train(
     cfg: NARConfig,
     session_schema: SessionFeaturesSchema,
     article_schema: ArticleFeaturesSchema,
-):
-    """Returns (model, optimizer, jitted train_step, jitted eval_step)."""
+) -> NARPrograms:
     model = NARModel(cfg, session_schema, article_schema)
     optimizer = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
@@ -114,8 +125,7 @@ def build_nar_train(
         )
         return out, (all_clicked, all_ts)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: NARTrainState, batch, ace_matrix, metadata):
+    def train_step_fn(state: NARTrainState, batch, ace_matrix, metadata):
         rng, step_rng = jax.random.split(state.rng)
 
         def loss_fn(params):
@@ -147,8 +157,7 @@ def build_nar_train(
             metrics,
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def eval_step(state: NARTrainState, batch, ace_matrix, metadata):
+    def eval_step_fn(state: NARTrainState, batch, ace_matrix, metadata):
         """Eval updates the stream state too (the temporal protocol trains
         baselines/popularity through the eval hour, then the harness restores
         the pre-eval snapshot — reference nar_model.py:1410-1415, 1691-1693)."""
@@ -182,7 +191,11 @@ def build_nar_train(
         )
         return new_state, dev_metrics, fetches
 
-    return model, optimizer, train_step, eval_step
+    train_step = jax.jit(train_step_fn, donate_argnums=(0,))
+    eval_step = jax.jit(eval_step_fn, donate_argnums=(0,))
+    return NARPrograms(
+        model, optimizer, train_step, eval_step, train_step_fn, eval_step_fn
+    )
 
 
 def nar_init_state(
@@ -194,7 +207,8 @@ def nar_init_state(
     metadata,
     seed: int = 42,
 ) -> Tuple[NARModel, Any, NARTrainState]:
-    model, optimizer, _, _ = build_nar_train(cfg, session_schema, article_schema)
+    programs = build_nar_train(cfg, session_schema, article_schema)
+    model, optimizer = programs.model, programs.optimizer
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)
     stream = init_stream_state(cfg, article_schema.num_items)

@@ -1,0 +1,429 @@
+"""Streaming temporal train/eval harness.
+
+The reference's primary entry point (nar_trainer_gcom.py:505-525): train on
+hour chunks ``t..t+n``, evaluate on hour ``t+n+1``, repeat, with the
+streaming state checkpointed around every eval so evaluation never pollutes
+training-time popularity/recency (nar_model.py:1410-1415, 1691-1693).
+
+Improvements over the reference (SURVEY.md §5.3 caveat): checkpoint/resume
+persists the FULL unit — params, optimizer, device stream state, RNG, hour
+cursor and metrics log — so a restart resumes the stream exactly where it
+left off instead of silently resetting popularity state.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..baselines.benchmarks import BenchmarkRecommender, StreamStateView
+from ..config import ArticleFeaturesSchema, NARConfig, RunConfig, SessionFeaturesSchema
+from ..data.collate import Session, batches_from_sessions
+from ..metrics.evaluation import (
+    ColdStartAnalysisState,
+    compute_metrics_results,
+    create_eval_metrics,
+    update_metrics,
+)
+from ..state.host_state import HostState
+from ..utils.io import append_json_lines, save_eval_benchmark_metrics_csv, serialize
+from .steps import NARTrainState, build_nar_train, nar_init_state
+
+log = logging.getLogger("chameleon_tpu.temporal")
+
+
+@dataclass
+class BenchmarkSpec:
+    recommender: type
+    params: dict = field(default_factory=dict)
+
+
+@dataclass
+class HarnessArtifacts:
+    eval_sessions_metrics_log: List[Dict] = field(default_factory=list)
+    sessions_negative_items_log: Optional[List[Dict]] = None
+    sessions_chameleon_recommendations_log: Optional[List[Dict]] = None
+
+
+class TemporalHarness:
+    """Drives the jitted NAR programs over an hour-indexed session source.
+
+    ``hour_source(hour) -> List[Session]`` abstracts the per-hour data files
+    (one gzipped TFRecord per hour in the reference, datasets.py:166-178).
+    """
+
+    def __init__(
+        self,
+        cfg: NARConfig,
+        run_cfg: RunConfig,
+        session_schema: SessionFeaturesSchema,
+        article_schema: ArticleFeaturesSchema,
+        ace_matrix,
+        metadata,
+        benchmarks: Sequence[BenchmarkSpec] = (),
+        log_negative_samples: bool = False,
+        log_recommendations: bool = False,
+        eval_metrics_by_session_position: bool = False,
+        eval_cold_start: bool = False,
+    ):
+        self.cfg = cfg
+        self.run_cfg = run_cfg
+        self.session_schema = session_schema
+        self.article_schema = article_schema
+        self.ace_matrix = jnp.asarray(ace_matrix)
+        self.ace_matrix_np = np.asarray(ace_matrix)
+        self.metadata = {k: jnp.asarray(v) for k, v in dict(metadata).items()}
+        self.programs = build_nar_train(cfg, session_schema, article_schema)
+        self.state: Optional[NARTrainState] = None
+        self.host_state = HostState(article_schema.num_items)
+        self.eval_cold_start = eval_cold_start
+        self.cold_start_state = ColdStartAnalysisState()
+        self.eval_metrics_by_session_position = eval_metrics_by_session_position
+
+        self.artifacts = HarnessArtifacts(
+            sessions_negative_items_log=[] if log_negative_samples else None,
+            sessions_chameleon_recommendations_log=(
+                [] if log_recommendations else None
+            ),
+        )
+
+        self._state_view = StreamStateView(
+            self.host_state,
+            np.zeros(cfg.recent_clicks_buffer_max_size, np.int32),
+            np.full(
+                article_schema.num_items,
+                1.0 / cfg.recent_clicks_for_normalization,
+                np.float32,
+            ),
+            np.zeros(article_schema.num_items, np.int64),
+        )
+        self.bench_classifiers: List[BenchmarkRecommender] = [
+            spec.recommender(
+                self._state_view,
+                dict(spec.params),
+                self._new_metric_set(),
+            )
+            for spec in benchmarks
+        ]
+        if eval_cold_start:
+            for clf in self.bench_classifiers:
+                clf.cold_start_state = ColdStartAnalysisState()
+        self.hours_trained = 0
+
+    # ------------------------------------------------------------------
+    def _new_metric_set(self):
+        return create_eval_metrics(
+            self.cfg.metrics_top_n,
+            self.cfg.eval_negative_sample_relevance,
+            self.eval_metrics_by_session_position,
+            self.ace_matrix_np,
+            self._state_view.get_recent_clicks_buffer(),
+        )
+
+    def _refresh_state_view(self):
+        self._state_view.refresh(
+            np.asarray(self.state.stream.buffer_ids),
+            np.asarray(self.state.stream.recent_pop_norm),
+            np.asarray(self.state.stream.global_pop),
+        )
+
+    def init_from_batch(self, example_batch: Dict[str, np.ndarray]):
+        batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
+        _, _, self.state = nar_init_state(
+            self.cfg,
+            self.session_schema,
+            self.article_schema,
+            batch,
+            self.ace_matrix,
+            self.metadata,
+            seed=self.run_cfg.random_seed,
+        )
+
+    def _batches(self, sessions: Sequence[Session]):
+        return batches_from_sessions(
+            sessions,
+            self.session_schema,
+            self.cfg.batch_size,
+            self.cfg.max_session_length,
+        )
+
+    # ------------------------------------------------------------------
+    def _ensure_initialized(self, sessions: Sequence[Session]):
+        if self.state is None:
+            self.init_from_batch(next(iter(self._batches(sessions))))
+
+    def train_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
+        self._ensure_initialized(sessions)
+        n_steps, losses = 0, []
+        for np_batch in self._batches(sessions):
+            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            self.state, metrics = self.programs.train_step(
+                self.state, batch, self.ace_matrix, self.metadata
+            )
+            # keep the device scalar — converting here would sync every step
+            losses.append(metrics["ce_loss"])
+            n_steps += 1
+            # Host-side structures learn from train batches too
+            # (reference nar_model.py:1628-1650 runs in both modes).
+            self._train_host_side(np_batch)
+        self.hours_trained += 1
+        avg_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
+        return {"steps": n_steps, "avg_ce_loss": avg_loss}
+
+    def _train_host_side(self, np_batch):
+        if not self.bench_classifiers and not self.eval_cold_start:
+            return
+        clicked = np_batch["item_clicked"]
+        all_clicked = np.concatenate(
+            [clicked, np_batch["label_last_item"]], axis=1
+        )
+        self.host_state.update_items_coocurrences(all_clicked)
+        if self.eval_cold_start:
+            self.host_state.increment_current_step()
+            labels = np_batch["label_next_item"]
+            nonzero = set(clicked.reshape(-1)) | set(labels.reshape(-1))
+            nonzero.discard(0)
+            self.host_state.update_items_first_click_step(np.array(sorted(nonzero)))
+        self._refresh_state_view()
+        for clf in self.bench_classifiers:
+            clf.train(
+                np_batch["user_id"],
+                np_batch["session_id"],
+                clicked,
+                np_batch["label_next_item"],
+            )
+
+    # ------------------------------------------------------------------
+    def evaluate_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
+        """Full eval pass over one hour; stream/host state snapshotted and
+        restored afterwards (the temporal-protocol guard)."""
+        self._ensure_initialized(sessions)
+        # Deep-copy the device buffers: eval_step donates its input state, so
+        # keeping a reference alone would point at deleted buffers.
+        stream_snapshot = jax.tree_util.tree_map(
+            lambda x: x.copy(), self.state.stream
+        )
+        self.host_state.save_state_checkpoint()
+
+        streaming = self._new_metric_set()
+        for clf in self.bench_classifiers:
+            clf.reset_eval_metrics()
+
+        hit_sum = rr_sum = label_count = 0.0
+        sessions_count = clicks_count = 0
+        t_start = time.time()
+
+        for np_batch in self._batches(sessions):
+            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+            self._refresh_state_view()  # pre-batch state, like before_run
+            self.state, dev_metrics, fetches = self.programs.eval_step(
+                self.state, batch, self.ace_matrix, self.metadata
+            )
+            hit_sum += float(dev_metrics["hit_sum"])
+            rr_sum += float(dev_metrics["rr_sum"])
+            label_count += float(dev_metrics["label_count"])
+            clicks_count += int(dev_metrics["clicks"])
+            sessions_count += int(dev_metrics["sessions"])
+
+            preds = np.asarray(fetches["predicted_ids"])
+            probs = np.asarray(fetches["predicted_probs"])
+            labels = np.asarray(fetches["labels"])
+            neg_items = np.asarray(fetches["neg_items"])
+            clicked = np.asarray(fetches["clicked_items"])
+            pop_norm = self._state_view.get_articles_recent_pop_norm()
+
+            update_metrics(
+                preds,
+                labels,
+                pop_norm[labels],
+                pop_norm[preds],
+                clicked,
+                streaming,
+                recommender="chameleon",
+            )
+            self._log_eval_batch(np_batch, labels, neg_items, preds, probs, pop_norm)
+            if self.eval_cold_start:
+                self._update_cold_start(np_batch, labels, neg_items, preds)
+
+            for clf in self.bench_classifiers:
+                clf.evaluate(
+                    np_batch["user_id"],
+                    clicked,
+                    labels,
+                    topk=self.cfg.metrics_top_n,
+                    eval_negative_items=neg_items,
+                )
+            self._train_host_side(np_batch)
+
+        row: Dict[str, float] = {
+            "hitrate_at_n": hit_sum / max(label_count, 1.0),
+            "mrr_at_n": rr_sum / max(label_count, 1.0),
+        }
+        row.update(compute_metrics_results(streaming, recommender="chameleon"))
+        for clf in self.bench_classifiers:
+            row.update(compute_metrics_results(clf.streaming_metrics, clf.get_clf_suffix()))
+        row["clicks_count"] = clicks_count
+        row["sessions_count"] = sessions_count
+        if self.eval_cold_start:
+            row["coldstart_chameleon"] = self.cold_start_state.get_statistics()
+            for clf in self.bench_classifiers:
+                row[f"coldstart_{clf.get_clf_suffix()}"] = (
+                    clf.cold_start_state.get_statistics()
+                )
+        self.artifacts.eval_sessions_metrics_log.append(row)
+        log.info(
+            "eval done in %.1fs: HR@%d=%.4f MRR@%d=%.4f",
+            time.time() - t_start,
+            self.cfg.metrics_top_n,
+            row["hitrate_at_n"],
+            self.cfg.metrics_top_n,
+            row["mrr_at_n"],
+        )
+
+        # restore pre-eval streaming state (train must not see eval's future)
+        self.state = self.state._replace(stream=stream_snapshot)
+        self.host_state.restore_state_checkpoint()
+        return row
+
+    def _log_eval_batch(self, np_batch, labels, neg_items, preds, probs, pop_norm):
+        neg_log = self.artifacts.sessions_negative_items_log
+        if neg_log is not None:
+            for sid, sess_labels, sess_negs in zip(
+                np_batch["session_id"], labels, neg_items
+            ):
+                neg_log.append(
+                    {
+                        "session_id": str(sid),
+                        "negative_items": [
+                            negs.tolist()
+                            for lab, negs in zip(sess_labels, sess_negs)
+                            if lab != 0
+                        ],
+                    }
+                )
+        rec_log = self.artifacts.sessions_chameleon_recommendations_log
+        if rec_log is not None:
+            probs_rounded = probs.round(decimals=7)
+            for sid, sess_labels, sess_preds, sess_probs in zip(
+                np_batch["session_id"], labels, preds, probs_rounded
+            ):
+                pred_pops = pop_norm[sess_preds].round(decimals=7)
+                mask = sess_labels != 0
+                rec_log.append(
+                    {
+                        "session_id": str(sid),
+                        "next_click_labels": sess_labels[mask].tolist(),
+                        "predicted_item_ids": sess_preds[mask].tolist(),
+                        "predicted_item_probs": sess_probs[mask].tolist(),
+                        "predicted_item_norm_pop": pred_pops[mask].tolist(),
+                    }
+                )
+
+    def _update_cold_start(self, np_batch, labels, neg_items, preds):
+        """Cold-start tracking during eval (reference nar_model.py:1480-1501)."""
+        top_n = self.cfg.metrics_top_n
+        self.cold_start_state.update_items_num_steps_before_first_rec(
+            preds[:, :, :top_n],
+            self.host_state.items_first_click_step,
+            self.host_state.current_step,
+        )
+        for clf in self.bench_classifiers:
+            valid = clf.get_valid_candidate_items(labels, neg_items)
+            bench_preds = clf.predict(
+                np_batch["user_id"],
+                np_batch["item_clicked"],
+                valid_items=valid,
+                topk=top_n,
+            )
+            clf.cold_start_state.update_items_num_steps_before_first_rec(
+                bench_preds,
+                self.host_state.items_first_click_step,
+                self.host_state.current_step,
+            )
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        hour_source: Callable[[int], Sequence[Session]],
+        hours: Sequence[int],
+    ) -> List[Dict]:
+        """The outer temporal loop (reference nar_trainer_gcom.py:505-525):
+        for each chunk of ``training_hours_for_each_eval`` hours, train on the
+        chunk then evaluate on the following hour."""
+        chunk = self.run_cfg.training_hours_for_each_eval
+        hours = list(hours)
+        if self.state is None:
+            first_sessions = hour_source(hours[0])
+            example = next(iter(self._batches(first_sessions)))
+            self.init_from_batch(example)
+
+        for start in range(0, len(hours), chunk):
+            train_hours = hours[start : start + chunk]
+            for h in train_hours:
+                stats = self.train_hour(hour_source(h))
+                log.info("hour %d trained: %s", h, stats)
+            eval_idx = start + chunk
+            if eval_idx < len(hours):
+                self.evaluate_hour(hour_source(hours[eval_idx]))
+            self._maybe_export()
+        return self.artifacts.eval_sessions_metrics_log
+
+    def _maybe_export(self):
+        n = len(self.artifacts.eval_sessions_metrics_log)
+        if n and n % self.run_cfg.save_results_each_n_evals == 0:
+            self.export_artifacts()
+
+    def export_artifacts(self):
+        out = Path(self.run_cfg.model_dir)
+        save_eval_benchmark_metrics_csv(
+            self.artifacts.eval_sessions_metrics_log,
+            out / "eval_stats_benchmarks.csv",
+            self.run_cfg.training_hours_for_each_eval,
+        )
+        if self.artifacts.sessions_negative_items_log is not None:
+            append_json_lines(
+                out / "eval_sessions_negative_samples.json",
+                self.artifacts.sessions_negative_items_log,
+            )
+            self.artifacts.sessions_negative_items_log.clear()
+        if self.artifacts.sessions_chameleon_recommendations_log is not None:
+            append_json_lines(
+                out / "eval_chameleon_recommendations_log.json",
+                self.artifacts.sessions_chameleon_recommendations_log,
+            )
+            self.artifacts.sessions_chameleon_recommendations_log.clear()
+
+    # ------------------------------------------------------------------
+    # checkpoint/resume: the full unit, fixing the reference's silent
+    # stream-state reset on restart (SURVEY.md §5.3)
+    def save_checkpoint(self, path=None):
+        path = Path(path or Path(self.run_cfg.model_dir) / "checkpoint.pkl")
+        payload = {
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "hours_trained": self.hours_trained,
+            "metrics_log": self.artifacts.eval_sessions_metrics_log,
+            "host_cooccurrence": self.host_state.items_coocurrences,
+            "host_first_click_step": self.host_state.items_first_click_step,
+            "host_current_step": self.host_state.current_step,
+        }
+        serialize(path, payload)
+        return path
+
+    def load_checkpoint(self, path=None):
+        from ..utils.io import deserialize
+
+        path = Path(path or Path(self.run_cfg.model_dir) / "checkpoint.pkl")
+        payload = deserialize(path)
+        self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        self.hours_trained = payload["hours_trained"]
+        self.artifacts.eval_sessions_metrics_log = payload["metrics_log"]
+        self.host_state.items_coocurrences = payload["host_cooccurrence"]
+        self.host_state.items_first_click_step = payload["host_first_click_step"]
+        self.host_state.current_step = payload["host_current_step"]
+        self._refresh_state_view()

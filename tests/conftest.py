@@ -2,12 +2,18 @@
 tests run without TPU hardware, with the same pjit code paths."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The environment's sitecustomize registers a tunneled TPU platform and
+# overrides JAX_PLATFORMS; an explicit config update after import wins.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

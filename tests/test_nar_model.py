@@ -36,7 +36,7 @@ def _setup(num_items=200, **cfg_overrides):
 def test_train_step_shapes_and_finite():
     cfg, art, sess, ace, metadata, batch = _setup()
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
-    _, _, train_step, eval_step = build_nar_train(cfg, sess, art)
+    programs = build_nar_train(cfg, sess, art); train_step, eval_step = programs.train_step, programs.eval_step
 
     state, metrics = train_step(state, batch, ace, metadata)
     assert np.isfinite(float(metrics["loss"]))
@@ -58,7 +58,7 @@ def test_train_step_shapes_and_finite():
 def test_positive_always_in_candidates_and_ranking_consistent():
     cfg, art, sess, ace, metadata, batch = _setup()
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
-    _, _, train_step, eval_step = build_nar_train(cfg, sess, art)
+    programs = build_nar_train(cfg, sess, art); train_step, eval_step = programs.train_step, programs.eval_step
     state, _, fetches = eval_step(state, batch, ace, metadata)
     labels = np.asarray(batch["label_next_item"])
     pred = np.asarray(fetches["predicted_ids"])
@@ -71,7 +71,7 @@ def test_positive_always_in_candidates_and_ranking_consistent():
 def test_loss_decreases_on_fixed_batch():
     cfg, art, sess, ace, metadata, batch = _setup(learning_rate=3e-3)
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
-    _, _, train_step, _ = build_nar_train(cfg, sess, art)
+    train_step = build_nar_train(cfg, sess, art).train_step
     losses = []
     for _ in range(30):
         state, metrics = train_step(state, batch, ace, metadata)
@@ -90,7 +90,7 @@ def test_padded_sessions_do_not_contribute():
         arr[half:] = 0
         batch[key] = jnp.asarray(arr)
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
-    _, _, train_step, _ = build_nar_train(cfg, sess, art)
+    train_step = build_nar_train(cfg, sess, art).train_step
     state, metrics = train_step(state, batch, ace, metadata)
     assert np.isfinite(float(metrics["loss"]))
     assert int(metrics["sessions"]) == half
