@@ -1,0 +1,237 @@
+"""NAR temporal training CLI for G1/Globo.com.
+
+Twin of the reference's primary entry point
+(nar_module/nar/nar_trainer_gcom.py:37-591): ~40 flags driving the streaming
+temporal protocol over per-hour session TFRecords, with the ACR handoff
+pickle providing frozen ACEs.
+
+Usage (mirrors run_nar_train_gcom_local.sh):
+  python -m chameleon_recsys_tpu.cli.nar_trainer_gcom \
+    --train_set_path_regex "sessions_tfrecords/sessions_hour_*.tfrecord.gz" \
+    --acr_module_articles_metadata_csv_path articles_metadata.csv \
+    --acr_module_articles_content_embeddings_pickle_path articles_embeddings.pickle \
+    --model_dir /tmp/nar_model --train_total_negative_samples 50 ...
+"""
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import logging
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from ..baselines import (
+    ContentBasedRecommender,
+    ItemCooccurrenceRecommender,
+    ItemKNNRecommender,
+    RecentlyPopularRecommender,
+    SequentialRulesRecommender,
+    SessionBasedKNNRecommender,
+)
+from ..config import (
+    InternalFeaturesConfig,
+    NARConfig,
+    RunConfig,
+    TIME_UNIT_MS,
+    gcom_article_schema,
+    gcom_session_schema,
+)
+from ..data.sessions import read_sessions_tfrecord
+from ..train.temporal import BenchmarkSpec, TemporalHarness
+
+RANDOM_SEED = 42
+
+
+def create_args_parser():
+    p = argparse.ArgumentParser()
+    # paths
+    p.add_argument("--train_set_path_regex", required=True)
+    p.add_argument("--acr_module_articles_metadata_csv_path", required=True)
+    p.add_argument("--acr_module_articles_content_embeddings_pickle_path", required=True)
+    p.add_argument("--model_dir", default="/tmp/chameleon_tpu_nar")
+    # temporal protocol
+    p.add_argument("--train_files_from", type=int, default=0)
+    p.add_argument("--train_files_up_to", type=int, default=0)
+    p.add_argument("--training_hours_for_each_eval", type=int, default=5)
+    p.add_argument("--save_results_each_n_evals", type=int, default=1)
+    # model hparams (defaults = G1 reproduction config, README.md:264-306)
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--truncate_session_length", type=int, default=20)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--dropout_keep_prob", type=float, default=1.0)
+    p.add_argument("--reg_l2_rate", type=float, default=1e-5)
+    p.add_argument("--softmax_temperature", type=float, default=0.1)
+    p.add_argument("--CAR_embedding_size", type=int, default=1024)
+    p.add_argument("--rnn_units", type=int, default=255)
+    p.add_argument("--rnn_num_layers", type=int, default=2)
+    p.add_argument("--train_total_negative_samples", type=int, default=50)
+    p.add_argument("--train_negative_samples_from_buffer", type=int, default=3000)
+    p.add_argument("--eval_total_negative_samples", type=int, default=50)
+    p.add_argument("--eval_negative_samples_from_buffer", type=int, default=5000)
+    p.add_argument("--eval_metrics_top_n", type=int, default=10)
+    p.add_argument("--recent_clicks_buffer_hours", type=float, default=1.0)
+    p.add_argument("--recent_clicks_buffer_max_size", type=int, default=20000)
+    p.add_argument("--recent_clicks_for_normalization", type=int, default=5000)
+    p.add_argument("--content_embedding_scale_factor", type=float, default=6.0)
+    p.add_argument("--novelty_reg_factor", type=float, default=0.0)
+    p.add_argument("--eval_negative_sample_relevance", type=float, default=0.02)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    # feature toggles (reference enabled_*_features flags)
+    p.add_argument("--enabled_internal_features", default="ALL",
+                   help="comma list of recency,novelty,article_content_embeddings,"
+                        "item_clicked_embeddings, or ALL/NONE")
+    p.add_argument("--disable_eval_benchmarks", action="store_true")
+    p.add_argument("--eval_metrics_by_session_position", action="store_true")
+    p.add_argument("--eval_cold_start", action="store_true")
+    p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
+    p.add_argument("--save_eval_sessions_recommendations", action="store_true")
+    p.add_argument("--resume_checkpoint", default="")
+    return p
+
+
+def parse_internal_features(flag_value: str) -> InternalFeaturesConfig:
+    all_features = (
+        "recency", "novelty", "article_content_embeddings",
+        "item_clicked_embeddings",
+    )
+    if flag_value == "ALL":
+        enabled = set(all_features)
+    elif flag_value == "NONE":
+        enabled = set()
+    else:
+        enabled = set(x.strip() for x in flag_value.split(","))
+    return InternalFeaturesConfig(**{f: f in enabled for f in all_features})
+
+
+def load_acr_module_resources(metadata_csv_path, embeddings_pickle_path,
+                              scale_factor: float):
+    """ACE pickle + metadata CSV, L2-normalized and scaled
+    (reference nar_trainer_gcom.py:461-474)."""
+    with open(embeddings_pickle_path, "rb") as f:
+        ace = pickle.load(f)
+    norms = np.linalg.norm(ace, axis=1, keepdims=True)
+    ace = np.divide(ace, norms, out=np.zeros_like(ace), where=norms > 0)
+    ace = (ace * scale_factor).astype(np.float32)
+
+    with open(metadata_csv_path) as f:
+        rows = list(csv.DictReader(f))
+    num_items = ace.shape[0]
+    created = np.zeros(num_items, np.int64)
+    category = np.zeros(num_items, np.int64)
+    for r in rows:
+        i = int(r["article_id"])
+        if i < num_items:
+            created[i] = int(r["created_at_ts"]) // TIME_UNIT_MS
+            category[i] = int(r["category_id"])
+    return ace, {"created_at_ts": created, "category_id": category}
+
+
+def default_benchmarks(ace_matrix):
+    """G1 benchmark set and parameters (nar_trainer_gcom.py:280-302)."""
+    return [
+        BenchmarkSpec(RecentlyPopularRecommender, {}),
+        BenchmarkSpec(ItemCooccurrenceRecommender, {}),
+        BenchmarkSpec(ItemKNNRecommender, {"reg_lambda": 20, "alpha": 0.75}),
+        BenchmarkSpec(
+            SessionBasedKNNRecommender,
+            {
+                "sessions_buffer_size": 3000,
+                "candidate_sessions_sample_size": 1000,
+                "sampling_strategy": "recent",
+                "nearest_neighbor_session_for_scoring": 500,
+                "similarity": "cosine",
+                "first_session_clicks_decay": "div",
+            },
+        ),
+        BenchmarkSpec(
+            ContentBasedRecommender,
+            {"content_article_embeddings_matrix": ace_matrix},
+        ),
+        BenchmarkSpec(
+            SequentialRulesRecommender,
+            {"max_clicks_dist": 10, "dist_between_clicks_decay": "div"},
+        ),
+    ]
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = create_args_parser().parse_args(argv)
+
+    ace, metadata = load_acr_module_resources(
+        args.acr_module_articles_metadata_csv_path,
+        args.acr_module_articles_content_embeddings_pickle_path,
+        args.content_embedding_scale_factor,
+    )
+    num_items = ace.shape[0]
+    article_schema = gcom_article_schema(num_items=num_items)
+    session_schema = gcom_session_schema(num_items=num_items)
+
+    cfg = NARConfig(
+        car_embedding_size=args.CAR_embedding_size,
+        rnn_units=args.rnn_units,
+        rnn_num_layers=args.rnn_num_layers,
+        learning_rate=args.learning_rate,
+        keep_prob=args.dropout_keep_prob,
+        reg_weight_decay=args.reg_l2_rate,
+        softmax_temperature=args.softmax_temperature,
+        novelty_reg_factor=args.novelty_reg_factor,
+        negative_samples=args.train_total_negative_samples,
+        negative_sample_from_buffer=args.train_negative_samples_from_buffer,
+        eval_negative_samples=args.eval_total_negative_samples,
+        eval_negative_sample_from_buffer=args.eval_negative_samples_from_buffer,
+        recent_clicks_buffer_hours=args.recent_clicks_buffer_hours,
+        recent_clicks_buffer_max_size=args.recent_clicks_buffer_max_size,
+        recent_clicks_for_normalization=args.recent_clicks_for_normalization,
+        batch_size=args.batch_size,
+        max_session_length=args.truncate_session_length,
+        metrics_top_n=args.eval_metrics_top_n,
+        eval_negative_sample_relevance=args.eval_negative_sample_relevance,
+        internal_features=parse_internal_features(args.enabled_internal_features),
+        compute_dtype=args.compute_dtype,
+    )
+    run_cfg = RunConfig(
+        model_dir=args.model_dir,
+        training_hours_for_each_eval=args.training_hours_for_each_eval,
+        train_files_from=args.train_files_from,
+        train_files_up_to=args.train_files_up_to,
+        save_results_each_n_evals=args.save_results_each_n_evals,
+        random_seed=RANDOM_SEED,
+    )
+
+    files = sorted(glob.glob(args.train_set_path_regex))
+    up_to = args.train_files_up_to or len(files)
+    files = files[args.train_files_from : up_to]
+    if not files:
+        raise SystemExit(f"no session files match {args.train_set_path_regex}")
+
+    harness = TemporalHarness(
+        cfg,
+        run_cfg,
+        session_schema,
+        article_schema,
+        ace,
+        metadata,
+        benchmarks=() if args.disable_eval_benchmarks else default_benchmarks(ace),
+        log_negative_samples=args.save_eval_sessions_negative_samples,
+        log_recommendations=args.save_eval_sessions_recommendations,
+        eval_metrics_by_session_position=args.eval_metrics_by_session_position,
+        eval_cold_start=args.eval_cold_start,
+    )
+    if args.resume_checkpoint:
+        harness.load_checkpoint(args.resume_checkpoint)
+
+    def hour_source(hour_idx):
+        return read_sessions_tfrecord(files[hour_idx], session_schema)
+
+    harness.run(hour_source, hours=range(len(files)))
+    harness.export_artifacts()
+    harness.save_checkpoint()
+    print(f"Done. Artifacts in {args.model_dir}")
+
+
+if __name__ == "__main__":
+    main()

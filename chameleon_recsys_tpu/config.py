@@ -159,6 +159,9 @@ class NARConfig:
     # in bfloat16 on the MXU
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16'
 
+    # kernels: route the session RNN through the fused Pallas scan
+    use_pallas_rnn: bool = False
+
     @property
     def max_inputs_length(self) -> int:
         """T = session length minus the final click (label-only)."""

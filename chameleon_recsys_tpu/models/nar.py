@@ -200,6 +200,8 @@ class NARModel(nn.Module):
         *,
         train: bool,
         rank: bool = False,
+        neg_pool: Optional[jax.Array] = None,  # [NC+1] shared candidate pool
+        neg_pool_idx: Optional[jax.Array] = None,  # [B, T, K] into neg_pool
     ) -> NAROutputs:
         cfg = self.cfg
         dtype = self._dtype()
@@ -257,35 +259,60 @@ class NARModel(nn.Module):
         pos_feats = scale_center(jnp.concatenate([user_ctx, pos_item_feats], -1))
         pos_feats = dropout(pos_feats, deterministic=not train)
 
-        neg_item_feats = item_features(neg_items, max_event_ts)
-        user_ctx_tiled = jnp.broadcast_to(
-            user_ctx[:, :, None, :], (b, t, k, user_ctx.shape[-1])
-        )
-        neg_feats = scale_center(
-            jnp.concatenate([user_ctx_tiled, neg_item_feats], -1)
-        )
-        neg_feats = dropout(neg_feats, deterministic=not train)
-
         # ---- shared CAR towers (nar_model.py:374-405) ----
-        pre_car = nn.Dense(
-            cfg.car_embedding_size,
-            kernel_init=_he_init,
-            dtype=dtype,
-            name="PreCAR",
-        )
-        car = nn.Dense(
-            cfg.car_embedding_size,
-            kernel_init=nn.initializers.glorot_uniform(),
-            dtype=dtype,
-            name="CAR",
-        )
+        # Explicit kernels (not nn.Dense) so the pooled negative path below
+        # can split the PreCAR projection into user/item halves.
+        feat_dim = input_feats.shape[-1]
+        user_dim = user_ctx.shape[-1]
+        c = cfg.car_embedding_size
+        pre_kernel = self.param(
+            "PreCAR_kernel", _he_init, (feat_dim, c), jnp.float32
+        ).astype(dtype)
+        pre_bias = self.param(
+            "PreCAR_bias", nn.initializers.zeros, (c,), jnp.float32
+        ).astype(dtype)
+        car_kernel = self.param(
+            "CAR_kernel", nn.initializers.glorot_uniform(), (c, c), jnp.float32
+        ).astype(dtype)
+        car_bias = self.param(
+            "CAR_bias", nn.initializers.zeros, (c,), jnp.float32
+        ).astype(dtype)
 
         def car_tower(x):
-            return jnp.tanh(car(nn.leaky_relu(pre_car(x))))
+            pre = nn.leaky_relu(x @ pre_kernel + pre_bias)
+            return jnp.tanh(pre @ car_kernel + car_bias)
 
         input_car = car_tower(input_feats)  # [B, T, C]
         pos_car = car_tower(pos_feats)  # [B, T, C]
-        neg_car = car_tower(neg_feats)  # [B, T, K, C]
+
+        pooled = neg_pool is not None and (not train or cfg.keep_prob >= 1.0)
+        if pooled:
+            # Pooled scoring: every negative comes from the shared candidate
+            # pool, so per-item features and the item half of the PreCAR
+            # projection run once per POOL row ([NC+1, ...]) instead of per
+            # (session, click, k) ([B, T, K, ...]).  Exact whenever feature
+            # dropout is inactive (the G1 reproduction config has
+            # keep_prob=1.0); with dropout the dense path below is used.
+            pool_feats = item_features(neg_pool, max_event_ts)  # [NC+1, F_i]
+            gamma = _sc_params["gamma"].astype(dtype)
+            beta = _sc_params["beta"].astype(dtype)
+            u_pre = (user_ctx * gamma[:user_dim]) @ pre_kernel[:user_dim]
+            i_pre = (pool_feats * gamma[user_dim:]) @ pre_kernel[user_dim:]
+            const = beta @ pre_kernel + pre_bias
+            pre_neg = nn.leaky_relu(
+                u_pre[:, :, None, :] + i_pre[neg_pool_idx] + const
+            )
+            neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)  # [B, T, K, C]
+        else:
+            neg_item_feats = item_features(neg_items, max_event_ts)
+            user_ctx_tiled = jnp.broadcast_to(
+                user_ctx[:, :, None, :], (b, t, k, user_ctx.shape[-1])
+            )
+            neg_feats = scale_center(
+                jnp.concatenate([user_ctx_tiled, neg_item_feats], -1)
+            )
+            neg_feats = dropout(neg_feats, deterministic=not train)
+            neg_car = car_tower(neg_feats)  # [B, T, K, C]
 
         # ---- session encoder (nar_model.py:407-438) ----
         rnn_out = StackedUGRNN(
@@ -293,6 +320,7 @@ class NARModel(nn.Module):
             cfg.rnn_num_layers,
             keep_prob=cfg.keep_prob,
             dtype=dtype,
+            use_pallas=cfg.use_pallas_rnn,
             name="rnn",
         )(input_car, mask, deterministic=not train)
 
@@ -372,7 +400,7 @@ class NARModel(nn.Module):
 # L2 regularization
 # ---------------------------------------------------------------------------
 
-_UNREGULARIZED_LEAVES = ("bias", "recurrent_bias")
+_UNREGULARIZED_LEAVES = ("bias", "recurrent_bias", "PreCAR_bias", "CAR_bias")
 _UNREGULARIZED_MODULES = ("rnn",)  # UGRNN cell vars carry no regularizer in the
 # reference (nar_model.py:1308-1338); Dense kernels, embeddings and γ/β do
 # (kernel_regularizer / get_variable(regularizer=...), e.g. :375-388, :739-740,

@@ -95,11 +95,16 @@ def gru_scan(
 
 
 class UGRNNLayer(nn.Module):
-    """One UGRNN layer; input projection runs as a single [B,T,D]·[D,2U] matmul."""
+    """One UGRNN layer; input projection runs as a single [B,T,D]·[D,2U] matmul.
+
+    ``use_pallas`` swaps the lax.scan recurrence for the fused Pallas TPU
+    kernel (ops/pallas/ugrnn_pallas.py) — identical math, VMEM-resident state.
+    """
 
     units: int
     forget_bias: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
@@ -116,6 +121,10 @@ class UGRNNLayer(nn.Module):
             (self.units, 2 * self.units),
             jnp.float32,
         ).astype(self.dtype)
+        if self.use_pallas:
+            from .pallas.ugrnn_pallas import ugrnn_scan_pallas
+
+            return ugrnn_scan_pallas(x_proj, w_hh, mask, self.forget_bias)
         return ugrnn_scan(x_proj, w_hh, mask, forget_bias=self.forget_bias)
 
 
@@ -131,6 +140,7 @@ class StackedUGRNN(nn.Module):
     num_layers: int = 1
     keep_prob: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(
@@ -138,7 +148,10 @@ class StackedUGRNN(nn.Module):
     ) -> jax.Array:
         h = x
         for i in range(self.num_layers):
-            h = UGRNNLayer(self.units, dtype=self.dtype, name=f"layer_{i}")(h, mask)
+            h = UGRNNLayer(
+                self.units, dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"layer_{i}",
+            )(h, mask)
             if self.keep_prob < 1.0:
                 h = nn.Dropout(rate=1.0 - self.keep_prob)(
                     h, deterministic=deterministic

@@ -87,6 +87,78 @@ def _per_click_topk(u, perm, sorted_vals, new_seg, seg_end, valid_sorted, k):
     return jnp.where(jnp.isfinite(neg_key), vals, 0)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("num_negatives", "buffer_sample_size", "mult")
+)
+def sample_negatives_pooled(
+    rng: jax.Array,
+    all_clicked_items: jax.Array,
+    buffer_ids: jax.Array,
+    *,
+    num_negatives: int,
+    buffer_sample_size: int,
+    mult: int = 20,
+):
+    """Like sample_negatives, but additionally exposes the shared candidate
+    pool and per-click indices into it.
+
+    Every negative is one of ≤ mult·K pool items, so expensive per-item work
+    (feature assembly, input projections) can run once per POOL row and be
+    gathered per (session, click, k) — a pure optimization over the
+    reference's per-click recomputation, with identical sampled ids.
+
+    Returns:
+      pool_ext: int32 [NC+1]; row NC is the padding sentinel (id 0).
+      neg_idx:  int32 [B, L, K] indices into pool_ext (NC for padding).
+      neg_ids:  int32 [B, L, K] == pool_ext[neg_idx].
+    """
+    b, l = all_clicked_items.shape
+    nc = min(num_negatives * mult, b * l + buffer_sample_size)
+    rng_buf, rng_pool, rng_u = jax.random.split(rng, 3)
+
+    buffer_sample = sample_from_buffer(rng_buf, buffer_ids, buffer_sample_size)
+    pool = jnp.concatenate(
+        [all_clicked_items.reshape(-1).astype(jnp.int32), buffer_sample]
+    )
+    pool_keys = jax.random.uniform(rng_pool, pool.shape)
+    pool_keys = jnp.where(pool != 0, pool_keys, _INF)
+    neg_keys, idx = lax.top_k(-pool_keys, nc)
+    cand = jnp.where(jnp.isfinite(neg_keys), pool[idx], 0)  # [NC]
+    pool_ext = jnp.concatenate([cand, jnp.zeros((1,), jnp.int32)])
+
+    def session_valid(sess_items):
+        hit = jnp.any(cand[:, None] == sess_items[None, :], axis=-1)
+        return (cand != 0) & ~hit
+
+    valid = jax.vmap(session_valid)(all_clicked_items)  # [B, NC]
+
+    perm, sorted_vals, new_seg, seg_end = _session_sort(cand)
+    valid_sorted = jax.vmap(lambda v: v[perm])(valid)
+    u = jax.random.uniform(rng_u, (b, l, cand.shape[0]))
+
+    def per_click_idx(u_c, perm, sorted_vals, new_seg, seg_end, valid_sorted_s):
+        u_sorted = u_c[perm]
+        u_sorted = jnp.where(valid_sorted_s, u_sorted, _INF)
+        run_min = _segmented_cummin(u_sorted, new_seg)
+        key = jnp.where(seg_end & valid_sorted_s, run_min, _INF)
+        neg_key, sorted_idx = lax.top_k(-key, num_negatives)
+        orig_idx = perm[sorted_idx]
+        return jnp.where(jnp.isfinite(neg_key), orig_idx, nc)  # NC = sentinel
+
+    def per_session(u_s, valid_sorted_s, clicks_s):
+        def per_click(u_c, click_id):
+            idx_c = per_click_idx(
+                u_c, perm, sorted_vals, new_seg, seg_end, valid_sorted_s
+            )
+            return jnp.where(click_id != 0, idx_c, jnp.full_like(idx_c, nc))
+
+        return jax.vmap(per_click)(u_s, clicks_s)
+
+    neg_idx = jax.vmap(per_session)(u, valid_sorted, all_clicked_items)
+    neg_ids = pool_ext[neg_idx]
+    return pool_ext, neg_idx, neg_ids
+
+
 @functools.partial(jax.jit, static_argnames=("num_negatives", "buffer_sample_size", "mult"))
 def sample_negatives(
     rng: jax.Array,

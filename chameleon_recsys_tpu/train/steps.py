@@ -22,7 +22,7 @@ import optax
 
 from ..config import ArticleFeaturesSchema, NARConfig, SessionFeaturesSchema
 from ..models.nar import NARAux, NARModel, NAROutputs, l2_regularization
-from ..ops.sampling import sample_negatives
+from ..ops.sampling import sample_negatives_pooled
 from ..state.stream_state import StreamState, init_stream_state, update_stream_state
 
 
@@ -106,21 +106,25 @@ def build_nar_train(
         )
         rng_neg, rng_drop = jax.random.split(rng)
         all_clicked, all_ts = _batch_all_clicks(batch)
-        neg = sample_negatives(
+        pool, neg_idx, neg_ids = sample_negatives_pooled(
             rng_neg,
             all_clicked,
             stream.buffer_ids,
             num_negatives=k,
             buffer_sample_size=m,
             mult=cfg.neg_sampling_multiplying_factor,
-        )[:, :-1, :]
+        )
+        neg_idx = neg_idx[:, :-1, :]
+        neg_ids = neg_ids[:, :-1, :]
         out = model.apply(
             {"params": params},
             batch,
             aux,
-            neg,
+            neg_ids,
             train=train,
             rank=rank,
+            neg_pool=pool,
+            neg_pool_idx=neg_idx,
             rngs={"dropout": rng_drop} if train else {},
         )
         return out, (all_clicked, all_ts)

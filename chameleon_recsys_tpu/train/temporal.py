@@ -33,6 +33,7 @@ from ..metrics.evaluation import (
 )
 from ..state.host_state import HostState
 from ..utils.io import append_json_lines, save_eval_benchmark_metrics_csv, serialize
+from ..utils.profiling import ThroughputMeter
 from .steps import NARTrainState, build_nar_train, nar_init_state
 
 log = logging.getLogger("chameleon_tpu.temporal")
@@ -115,6 +116,8 @@ class TemporalHarness:
             for clf in self.bench_classifiers:
                 clf.cold_start_state = ColdStartAnalysisState()
         self.hours_trained = 0
+        self.train_meter = ThroughputMeter("train")
+        self.eval_meter = ThroughputMeter("eval")
 
     # ------------------------------------------------------------------
     def _new_metric_set(self):
@@ -161,6 +164,7 @@ class TemporalHarness:
     def train_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
         self._ensure_initialized(sessions)
         n_steps, losses = 0, []
+        self.train_meter.start()
         for np_batch in self._batches(sessions):
             batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
             self.state, metrics = self.programs.train_step(
@@ -169,9 +173,14 @@ class TemporalHarness:
             # keep the device scalar — converting here would sync every step
             losses.append(metrics["ce_loss"])
             n_steps += 1
+            self.train_meter.stop(
+                1, int((np_batch["session_size"] > 0).sum()), 0
+            )
             # Host-side structures learn from train batches too
             # (reference nar_model.py:1628-1650 runs in both modes).
             self._train_host_side(np_batch)
+            self.train_meter.start()
+        self.train_meter.stop(0)
         self.hours_trained += 1
         avg_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
         return {"steps": n_steps, "avg_ce_loss": avg_loss}
@@ -270,6 +279,7 @@ class TemporalHarness:
             row.update(compute_metrics_results(clf.streaming_metrics, clf.get_clf_suffix()))
         row["clicks_count"] = clicks_count
         row["sessions_count"] = sessions_count
+        row.update(self.train_meter.result())  # sessions/sec/chip since start
         if self.eval_cold_start:
             row["coldstart_chameleon"] = self.cold_start_state.get_statistics()
             for clf in self.bench_classifiers:

@@ -1,0 +1,83 @@
+"""Pooled negative scoring: sampler equivalence and model-path parity."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chameleon_recsys_tpu.data.collate import batches_from_sessions
+from chameleon_recsys_tpu.data.synthetic import (
+    make_synthetic_corpus,
+    synthetic_hour_sessions,
+)
+from chameleon_recsys_tpu.models.nar import NARAux
+from chameleon_recsys_tpu.ops.sampling import (
+    sample_negatives,
+    sample_negatives_pooled,
+)
+from chameleon_recsys_tpu.train.steps import nar_init_state
+
+from conftest import tiny_article_schema, tiny_nar_config, tiny_session_schema
+
+
+def test_pooled_sampler_matches_plain():
+    clicked = jnp.array(
+        [[1, 2, 3, 4, 5], [6, 7, 0, 0, 0], [0, 0, 0, 0, 0]], jnp.int32
+    )
+    buffer = jnp.arange(0, 64, dtype=jnp.int32)
+    rng = jax.random.PRNGKey(7)
+    plain = np.asarray(
+        sample_negatives(rng, clicked, buffer, num_negatives=4,
+                         buffer_sample_size=16)
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        rng, clicked, buffer, num_negatives=4, buffer_sample_size=16
+    )
+    np.testing.assert_array_equal(np.asarray(ids), plain)
+    np.testing.assert_array_equal(
+        np.asarray(pool)[np.asarray(idx)], plain
+    )
+    assert int(np.asarray(pool)[-1]) == 0  # sentinel row
+
+
+def test_pooled_model_path_matches_dense():
+    cfg = tiny_nar_config()
+    art = tiny_article_schema(200)
+    sess = tiny_session_schema(200)
+    corpus = make_synthetic_corpus(art, ace_dim=16)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+    sessions = synthetic_hour_sessions(
+        corpus, sess, 0, cfg.batch_size, cfg.max_session_length
+    )
+    batch = next(
+        iter(
+            batches_from_sessions(
+                sessions, sess, cfg.batch_size, cfg.max_session_length
+            )
+        )
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    aux = NARAux(ace, metadata, state.stream.recent_pop_norm,
+                 state.stream.buffer_ids)
+
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        jax.random.PRNGKey(3), all_clicked, state.stream.buffer_ids,
+        num_negatives=cfg.negative_samples,
+        buffer_sample_size=cfg.negative_sample_from_buffer,
+    )
+    idx, ids = idx[:, :-1], ids[:, :-1]
+
+    dense = model.apply({"params": state.params}, batch, aux, ids, train=False)
+    pooled = model.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.items_prob), np.asarray(dense.items_prob),
+        rtol=2e-4, atol=2e-5,
+    )
+    assert float(pooled.ce_loss) == pytest.approx(float(dense.ce_loss), rel=1e-4)
