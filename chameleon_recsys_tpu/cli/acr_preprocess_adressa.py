@@ -107,12 +107,15 @@ def main(argv=None):
         encoders[label] = enc
         encoded_labels[label] = vals
         class_weights[label] = balanced_class_weights(vals, len(enc))
-    # multilabel keywords
+    # multilabel keywords head (acr_trainer_adressa.py:83-88)
     kw_enc, _ = build_thresholded_encoder(
         [k for r in rows for k in (r.get("keywords") or [])],
         min_freq=args.min_label_freq,
     )
     encoders["keywords"] = kw_enc
+    keywords_encoded = [
+        [kw_enc.get(k, 1) for k in (r.get("keywords") or [])] for r in rows
+    ]
 
     vocab_counts = build_vocabulary(tokenized, args.vocab_most_freq_words)
     pretrained, dim = load_word2vec_text(args.input_word_embeddings_path)
@@ -128,6 +131,8 @@ def main(argv=None):
         {"encoders": encoders, "class_weights": class_weights},
     )
 
+    from ..data.example_proto import encode_sequence_example
+
     records, chunk = [], 0
     created = [int(r.get("createtime", 0)) * 1000 for r in rows]
     for i in range(len(rows)):
@@ -135,9 +140,17 @@ def main(argv=None):
             tokenized[i], vocab, args.truncate_tokens_length
         )
         records.append(
-            make_article_record(
-                article_ids[i], encoded_labels["category0"][i], created[i],
-                token_ids,
+            encode_sequence_example(
+                context={
+                    "article_id": [int(article_ids[i])],
+                    "category0": [int(encoded_labels["category0"][i])],
+                    "category1": [int(encoded_labels["category1"][i])],
+                    "author": [int(encoded_labels["author"][i])],
+                    "created_at_ts": [created[i]],
+                    "text_length": [sum(1 for t in token_ids if t != 0)],
+                    "keywords": [int(k) for k in keywords_encoded[i]] or [0],
+                },
+                sequences={"text": [[int(t)] for t in token_ids]},
             )
         )
         if len(records) >= args.articles_by_tfrecord:

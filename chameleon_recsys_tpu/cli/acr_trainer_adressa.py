@@ -1,14 +1,15 @@
-"""ACR training CLI for G1/Globo.com: train the ACE side task on tokenized
-article TFRecords and export the NAR handoff pickle.
+"""ACR training CLI for Adressa: multi-head ACE side task.
 
-Twin of acr_module/acr/acr_trainer_gcom.py:1-352.
+Twin of acr_module/acr/acr_trainer_adressa.py:1-408 — the differences from
+the G1 trainer: two label heads (``category0`` weighted multiclass +
+``keywords`` multilabel, reference :83-88), class weights from preprocessing,
+GRU default encoder, and metadata exported with the extra columns.
 
 Usage:
-  python -m chameleon_recsys_tpu.cli.acr_trainer_gcom \
-    --train_set_path_regex "acr_preprocessed/articles_tokenized_*.tfrecord.gz" \
-    --input_word_vocab_embeddings_path acr_preprocessed/acr_word_vocab_embeddings.pickle \
-    --input_label_encoders_path acr_preprocessed/acr_label_encoders.pickle \
-    --output_tf_records_path acr_preprocessed \
+  python -m chameleon_recsys_tpu.cli.acr_trainer_adressa \
+    --train_set_path_regex "acr_pre/articles_tokenized_*.tfrecord.gz" \
+    --input_word_vocab_embeddings_path acr_pre/acr_word_vocab_embeddings.pickle \
+    --input_label_encoders_path acr_pre/acr_label_encoders.pickle \
     --output_acr_metadata_embeddings_path acr_articles_metadata_embeddings.pickle
 """
 from __future__ import annotations
@@ -25,27 +26,32 @@ from ..data.example_proto import decode_sequence_example
 from ..data.tfrecord import read_tfrecord_file
 from ..models.acr import ACRLabelSpec
 
+MAX_KEYWORDS = 10
+
 
 def load_article_arrays(tfrecord_paths, truncate_tokens_length):
-    ids, cats, created, lengths, texts = [], [], [], [], []
+    cols = {k: [] for k in (
+        "article_id", "category0", "category1", "author", "created_at_ts",
+    )}
+    texts, lengths, keywords = [], [], []
     for path in tfrecord_paths:
         for record in read_tfrecord_file(path):
             context, sequences = decode_sequence_example(record)
-            ids.append(context["article_id"][0])
-            cats.append(context.get("category_id", [0])[0])
-            created.append(context.get("created_at_ts", [0])[0])
-            tokens = [int(step[0]) if step else 0 for step in sequences["text"]]
+            for k in cols:
+                cols[k].append(context.get(k, [0])[0])
+            tokens = [int(s[0]) if s else 0 for s in sequences["text"]]
             tokens = tokens[:truncate_tokens_length]
             tokens += [0] * (truncate_tokens_length - len(tokens))
             texts.append(tokens)
             lengths.append(sum(1 for t in tokens if t != 0))
-    return {
-        "article_id": np.asarray(ids, np.int64),
-        "category_id": np.asarray(cats, np.int64),
-        "created_at_ts": np.asarray(created, np.int64),
-        "text": np.asarray(texts, np.int32),
-        "text_length": np.asarray(lengths, np.int32),
-    }
+            kw = list(context.get("keywords", []))[:MAX_KEYWORDS]
+            kw += [0] * (MAX_KEYWORDS - len(kw))
+            keywords.append(kw)
+    arrays = {k: np.asarray(v, np.int64) for k, v in cols.items()}
+    arrays["text"] = np.asarray(texts, np.int32)
+    arrays["text_length"] = np.asarray(lengths, np.int32)
+    arrays["keywords"] = np.asarray(keywords, np.int64)
+    return arrays
 
 
 def main(argv=None):
@@ -55,25 +61,26 @@ def main(argv=None):
     p.add_argument("--input_label_encoders_path", required=True)
     p.add_argument("--output_acr_metadata_embeddings_path", required=True)
     p.add_argument("--training_task", default="metadata_classification")
-    p.add_argument("--text_feature_extractor", default="CNN")
+    p.add_argument("--text_feature_extractor", default="GRU")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--training_epochs", type=int, default=5)
     p.add_argument("--learning_rate", type=float, default=3e-4)
     p.add_argument("--dropout_keep_prob", type=float, default=1.0)
     p.add_argument("--l2_reg_lambda", type=float, default=7e-4)
     p.add_argument("--acr_embeddings_size", type=int, default=250)
-    p.add_argument("--cnn_filter_sizes", default="3,4,5")
-    p.add_argument("--cnn_num_filters", type=int, default=128)
     p.add_argument("--rnn_units", type=int, default=250)
     p.add_argument("--rnn_layers", type=int, default=1)
     p.add_argument("--truncate_tokens_length", type=int, default=300)
     p.add_argument("--autoencoder_noise", type=float, default=0.0)
+    p.add_argument("--keywords_weight_on_loss", type=float, default=1.0)
     args = p.parse_args(argv)
 
     with open(args.input_word_vocab_embeddings_path, "rb") as f:
         vocab, word_embeddings = pickle.load(f)
     with open(args.input_label_encoders_path, "rb") as f:
-        label_encoders = pickle.load(f)
+        enc_payload = pickle.load(f)
+    encoders = enc_payload["encoders"]
+    class_weights = enc_payload.get("class_weights", {})
 
     files = sorted(glob.glob(args.train_set_path_regex))
     if not files:
@@ -88,8 +95,6 @@ def main(argv=None):
         vocab_size=word_embeddings.shape[0],
         truncate_tokens_length=args.truncate_tokens_length,
         acr_embeddings_size=args.acr_embeddings_size,
-        cnn_filter_sizes=tuple(int(x) for x in args.cnn_filter_sizes.split(",")),
-        cnn_num_filters=args.cnn_num_filters,
         rnn_units=args.rnn_units,
         rnn_layers=args.rnn_layers,
         learning_rate=args.learning_rate,
@@ -101,25 +106,35 @@ def main(argv=None):
     )
 
     label_specs = ()
+    trainer_class_weights = None
     if args.training_task == "metadata_classification":
-        num_categories = int(articles["category_id"].max()) + 1
-        label_specs = (ACRLabelSpec("category_id", num_categories, "multiclass"),)
+        label_specs = (
+            ACRLabelSpec("category0", len(encoders["category0"]), "multiclass"),
+            ACRLabelSpec(
+                "keywords", len(encoders["keywords"]), "multilabel",
+                feature_weight_on_loss=args.keywords_weight_on_loss,
+            ),
+        )
+        trainer_class_weights = {
+            "category0": np.asarray(class_weights["category0"], np.float32)
+        }
 
-    trainer = ACRTrainer(cfg, word_embeddings, label_specs)
+    trainer = ACRTrainer(cfg, word_embeddings, label_specs, trainer_class_weights)
     trainer.fit(articles)
     ace_matrix = trainer.build_ace_matrix(articles)
 
     metadata = {
-        "article_id": np.concatenate([[0], articles["article_id"]]),
-        "category_id": np.concatenate([[0], articles["category_id"]]),
-        "created_at_ts": np.concatenate([[0], articles["created_at_ts"]]),
+        key: np.concatenate([[0], articles[key]])
+        for key in ("article_id", "category0", "category1", "author",
+                    "created_at_ts")
     }
     export_ace_pickle(
-        args.output_acr_metadata_embeddings_path, label_encoders, metadata,
-        ace_matrix,
+        args.output_acr_metadata_embeddings_path, encoders, metadata, ace_matrix
     )
-    print(f"Exported ACE matrix {ace_matrix.shape} to "
-          f"{args.output_acr_metadata_embeddings_path}")
+    print(
+        f"Exported ACE matrix {ace_matrix.shape} to "
+        f"{args.output_acr_metadata_embeddings_path}"
+    )
 
 
 if __name__ == "__main__":

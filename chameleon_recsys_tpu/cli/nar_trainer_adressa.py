@@ -68,6 +68,10 @@ def main(argv=None):
         resources = pickle.load(f)
     cardinalities = dict(resources.get("cardinalities", {}))
     num_items = max(int(cardinalities.get("item_clicked", 0)), ace.shape[0])
+    if ace.shape[0] < num_items:  # items clicked but unseen by ACR → zero rows
+        ace = np.vstack(
+            [ace, np.zeros((num_items - ace.shape[0], ace.shape[1]), np.float32)]
+        )
 
     article_schema = adressa_article_schema(num_items=num_items)
     session_schema = adressa_session_schema(cardinalities)
@@ -80,6 +84,8 @@ def main(argv=None):
         src = metadata_raw.get(spec.name) if isinstance(metadata_raw, dict) else None
         if src is not None:
             src = np.asarray(src)
+            if spec.name == "created_at_ts":
+                src = src // 1000  # pickle stores unix ms; device uses seconds
             col[: min(len(src), num_items)] = src[:num_items]
         metadata[spec.name] = col
 

@@ -68,6 +68,75 @@ def make_synthetic_corpus(
     return SyntheticCorpus(num_items, metadata, ace, pop)
 
 
+def make_transition_graph(
+    num_items: int, successors_per_item: int = 5, seed: int = 42
+) -> np.ndarray:
+    """Sparse next-click graph: item → ``successors_per_item`` likely
+    successors.  Gives the stream real sequential structure so next-click
+    accuracy is learnable (and the session models can beat popularity)."""
+    rng = np.random.RandomState(seed + 7)
+    succ = rng.randint(1, num_items, size=(num_items, successors_per_item))
+    succ[0] = 0
+    return succ
+
+
+def synthetic_markov_hour_sessions(
+    corpus: SyntheticCorpus,
+    session_schema: SessionFeaturesSchema,
+    transition_graph: np.ndarray,
+    hour_index: int,
+    num_sessions: int,
+    max_session_length: int = 20,
+    base_epoch: int = 72 * SECONDS_PER_HOUR,
+    follow_prob: float = 0.8,
+    seed: int = 42,
+) -> List[Session]:
+    """Sessions walking the transition graph: with probability
+    ``follow_prob`` the next click is one of the current item's successors,
+    otherwise a popularity-weighted jump."""
+    rng = np.random.RandomState(seed + 1000 * hour_index)
+    hour_start = base_epoch + hour_index * SECONDS_PER_HOUR
+    weights = corpus.item_popularity.copy()
+    weights[0] = 0.0
+    probs = weights / weights.sum()
+    ctx_specs = session_schema.context_sequence_features()
+
+    sessions = []
+    for i in range(num_sessions):
+        n = int(rng.randint(2, max_session_length + 1))
+        items = [int(rng.choice(corpus.num_items, p=probs))]
+        while len(items) < n:
+            if rng.rand() < follow_prob:
+                nxt = int(rng.choice(transition_graph[items[-1]]))
+            else:
+                nxt = int(rng.choice(corpus.num_items, p=probs))
+            if nxt == 0:
+                nxt = 1
+            items.append(nxt)
+        start = hour_start + int(rng.randint(0, SECONDS_PER_HOUR - n * 30))
+        ts = start + np.cumsum(rng.randint(5, 30, size=n))
+        context = {}
+        for spec in ctx_specs:
+            if spec.kind == "categorical":
+                context[spec.name] = rng.randint(1, spec.cardinality, size=n).tolist()
+            else:
+                context[spec.name] = rng.uniform(-1, 1, size=n).astype(
+                    np.float32
+                ).tolist()
+        sessions.append(
+            Session(
+                session_id=hour_index * 10_000_000 + i,
+                user_id=int(rng.randint(1, 100000)),
+                session_start=int(start),
+                item_ids=items,
+                timestamps=ts.astype(np.int64).tolist(),
+                context=context,
+            )
+        )
+    sessions.sort(key=lambda s: s.session_start)
+    return sessions
+
+
 def synthetic_hour_sessions(
     corpus: SyntheticCorpus,
     session_schema: SessionFeaturesSchema,

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ACRConfig
-from ..ops.rnn import StackedGRU
+from ..ops.rnn import StackedGRU, StackedLSTM
 
 
 class ACRLabelSpec(NamedTuple):
@@ -103,7 +103,12 @@ class ACRClassifierModel(nn.Module):
             # (acr_model.py:116-117); max-pool over outputs (:124).
             emb_rev = jnp.flip(emb, axis=1)
             mask_rev = jnp.ones_like(mask)  # cuDNN ignores lengths (:397)
-            rnn_out, _ = StackedGRU(
+            rnn_cls = (
+                StackedLSTM
+                if cfg.text_feature_extractor.upper() == "LSTM"
+                else StackedGRU
+            )
+            rnn_out, _ = rnn_cls(
                 cfg.rnn_units,
                 cfg.rnn_layers,
                 keep_prob=cfg.dropout_keep_prob,

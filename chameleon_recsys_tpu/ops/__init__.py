@@ -1,5 +1,5 @@
 from .sampling import sample_negatives, sample_from_buffer
-from .rnn import ugrnn_scan, gru_scan, StackedUGRNN
+from .rnn import ugrnn_scan, gru_scan, lstm_scan, StackedUGRNN, StackedGRU, StackedLSTM
 from .normalization import (
     log_base,
     log1p_base,
@@ -14,6 +14,9 @@ __all__ = [
     "ugrnn_scan",
     "gru_scan",
     "StackedUGRNN",
+    "StackedGRU",
+    "StackedLSTM",
+    "lstm_scan",
     "log_base",
     "log1p_base",
     "masked_moments",

@@ -188,6 +188,103 @@ class GRULayer(nn.Module):
         return gru_scan(x_proj, r_hh, b_hh, mask, h0=h0)
 
 
+def lstm_scan(
+    x_proj: jax.Array,  # [B, T, 4U] precomputed W·x + b_W (order i, f, g, o)
+    r_hh: jax.Array,  # [U, 4U]
+    b_hh: jax.Array,  # [4U]
+    mask: jax.Array,  # [B, T]
+    h0: Optional[jax.Array] = None,
+    c0: Optional[jax.Array] = None,
+    forget_bias: float = 1.0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Standard (cuDNN-compatible) LSTM recurrence; returns (outputs, hT, cT)."""
+    b, t, four_u = x_proj.shape
+    units = four_u // 4
+    if h0 is None:
+        h0 = jnp.zeros((b, units), x_proj.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((b, units), x_proj.dtype)
+
+    xs = jnp.swapaxes(x_proj, 0, 1)
+    ms = jnp.swapaxes(mask, 0, 1)
+
+    def body(carry, inp):
+        h, c = carry
+        xp_t, m_t = inp
+        gates = xp_t + h @ r_hh + b_hh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f + forget_bias)
+        g = jnp.tanh(g)
+        o = jax.nn.sigmoid(o)
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
+        keep = m_t[:, None]
+        h = jnp.where(keep, h_new, h)
+        c = jnp.where(keep, c_new, c)
+        return (h, c), h
+
+    (h_t, c_t), hs = lax.scan(body, (h0, c0), (xs, ms))
+    return jnp.swapaxes(hs, 0, 1), h_t, c_t
+
+
+class LSTMLayer(nn.Module):
+    """One cuDNN-style LSTM layer (see lstm_scan)."""
+
+    units: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: jax.Array,
+        h0: Optional[jax.Array] = None, c0: Optional[jax.Array] = None,
+    ):
+        x_proj = nn.Dense(
+            4 * self.units,
+            use_bias=True,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
+            name="input_proj",
+        )(x)
+        r_hh = self.param(
+            "recurrent_kernel",
+            nn.initializers.glorot_uniform(),
+            (self.units, 4 * self.units),
+            jnp.float32,
+        ).astype(self.dtype)
+        b_hh = self.param(
+            "recurrent_bias", nn.initializers.zeros, (4 * self.units,), jnp.float32
+        ).astype(self.dtype)
+        return lstm_scan(x_proj, r_hh, b_hh, mask, h0=h0, c0=c0)
+
+
+class StackedLSTM(nn.Module):
+    """Stacked LSTM with inter-layer dropout, cuDNN layout (for the ACR text
+    encoder's LSTM option, reference acr_model.py:308-353)."""
+
+    units: int
+    num_layers: int = 1
+    keep_prob: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        h = x
+        finals = []
+        for i in range(self.num_layers):
+            if i > 0 and self.keep_prob < 1.0:
+                h = nn.Dropout(rate=1.0 - self.keep_prob)(
+                    h, deterministic=deterministic
+                )
+            h, h_t, _ = LSTMLayer(self.units, dtype=self.dtype, name=f"layer_{i}")(
+                h, mask
+            )
+            finals.append(h_t)
+        return h, jnp.stack(finals)
+
+
 class StackedGRU(nn.Module):
     """Stacked GRU with inter-layer dropout (cuDNN applies dropout between
     layers only, acr_model.py:372)."""

@@ -1,0 +1,86 @@
+"""Hyperparameter sweep runner.
+
+Local replacement for the reference's ML Engine hypertuning
+(nar_module/nar_mlengine_hypertuning.yaml:1-51): a discrete grid (or a
+random subsample of it) over NARConfig fields, each trial running the
+temporal harness on a trial subdirectory, maximizing a chosen metric
+(default ``mrr_at_n`` — the reference's objective).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import logging
+import random
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+from ..config import NARConfig, RunConfig
+from .temporal import TemporalHarness
+
+log = logging.getLogger("chameleon_tpu.sweep")
+
+
+@dataclasses.dataclass
+class TrialResult:
+    trial_id: int
+    overrides: Dict
+    objective: float
+    metrics: Dict
+
+
+def grid(param_grid: Dict[str, Sequence]) -> List[Dict]:
+    """All combinations of a discrete grid (hypertuning yaml's DISCRETE
+    params)."""
+    keys = list(param_grid)
+    return [
+        dict(zip(keys, values))
+        for values in itertools.product(*(param_grid[k] for k in keys))
+    ]
+
+
+def run_sweep(
+    base_cfg: NARConfig,
+    run_cfg: RunConfig,
+    param_grid: Dict[str, Sequence],
+    harness_factory: Callable[[NARConfig, RunConfig], TemporalHarness],
+    hour_source: Callable[[int], Sequence],
+    hours: Sequence[int],
+    objective: str = "mrr_at_n",
+    max_trials: Optional[int] = None,
+    seed: int = 42,
+) -> List[TrialResult]:
+    """Run trials, returning results sorted by objective descending (goal:
+    MAXIMIZE, hypertuning yaml:2-8)."""
+    trials = grid(param_grid)
+    if max_trials is not None and len(trials) > max_trials:
+        rng = random.Random(seed)
+        trials = rng.sample(trials, max_trials)
+
+    results: List[TrialResult] = []
+    for trial_id, overrides in enumerate(trials):
+        cfg = dataclasses.replace(base_cfg, **overrides)
+        trial_run_cfg = dataclasses.replace(
+            run_cfg, model_dir=str(Path(run_cfg.model_dir) / f"trial_{trial_id:03d}")
+        )
+        harness = harness_factory(cfg, trial_run_cfg)
+        rows = harness.run(hour_source, hours=hours)
+        value = (
+            float(
+                sum(r.get(objective, 0.0) for r in rows) / max(len(rows), 1)
+            )
+            if rows
+            else float("-inf")
+        )
+        results.append(TrialResult(trial_id, overrides, value, rows[-1] if rows else {}))
+        log.info("trial %d %s -> %s=%.5f", trial_id, overrides, objective, value)
+
+    results.sort(key=lambda r: -r.objective)
+    out = Path(run_cfg.model_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / "sweep_results.json", "w") as f:
+        json.dump(
+            [dataclasses.asdict(r) for r in results], f, indent=2, default=str
+        )
+    return results

@@ -52,6 +52,32 @@ def save_eval_benchmark_metrics_csv(
         writer.writerows(rows)
 
 
+def gini_index(values) -> float:
+    """Gini coefficient of a value distribution (reference
+    nar_module/nar/utils.py:210-230; used for catalog-concentration
+    analysis)."""
+    import numpy as np
+
+    values = np.sort(np.asarray(values, np.float64))
+    n = len(values)
+    if n == 0 or values.sum() == 0:
+        return 0.0
+    index = np.arange(1, n + 1)
+    return float((2 * np.sum(index * values) / (n * values.sum())) - (n + 1) / n)
+
+
+def min_max_scale(values, min_max_range=(0.0, 1.0)):
+    """Min-max scaling helper (reference utils.py:234-237)."""
+    import numpy as np
+
+    values = np.asarray(values, np.float64)
+    lo, hi = values.min(), values.max()
+    span = hi - lo if hi > lo else 1.0
+    scaled = (values - lo) / span
+    a, b = min_max_range
+    return scaled * (b - a) + a
+
+
 def append_json_lines(path, records: Iterable[Dict]):
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)

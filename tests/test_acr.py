@@ -52,7 +52,7 @@ def _cfg(**kw):
     return ACRConfig(**base)
 
 
-@pytest.mark.parametrize("extractor", ["CNN", "GRU"])
+@pytest.mark.parametrize("extractor", ["CNN", "GRU", "LSTM"])
 def test_classifier_trains_and_exports(extractor, tmp_path):
     word_emb, articles, n_cats = _corpus()
     cfg = _cfg(text_feature_extractor=extractor)

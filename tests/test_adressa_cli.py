@@ -89,6 +89,30 @@ def test_adressa_chain(raw, tmp_path):
     assert "category0" in enc_payload["encoders"]
     assert "category0" in enc_payload["class_weights"]
 
+    # multi-head ACR trainer (category0 multiclass + keywords multilabel)
+    from chameleon_recsys_tpu.cli import acr_trainer_adressa
+
+    ace_path = tmp_path / "acr_articles_metadata_embeddings.pickle"
+    acr_trainer_adressa.main(
+        [
+            "--train_set_path_regex", str(acr_out / "articles_tokenized_*.tfrecord.gz"),
+            "--input_word_vocab_embeddings_path",
+            str(acr_out / "acr_word_vocab_embeddings.pickle"),
+            "--input_label_encoders_path",
+            str(acr_out / "acr_label_encoders.pickle"),
+            "--output_acr_metadata_embeddings_path", str(ace_path),
+            "--acr_embeddings_size", "8",
+            "--rnn_units", "8",
+            "--batch_size", "8",
+            "--training_epochs", "1",
+            "--truncate_tokens_length", "12",
+        ]
+    )
+    with open(ace_path, "rb") as f:
+        _, acr_metadata, acr_ace = pickle.load(f)
+    assert acr_ace.shape[1] == 8
+    assert "category0" in acr_metadata
+
     sess_dir = tmp_path / "sessions"
     sess_dir.mkdir()
     nar_preprocess_adressa.main(
