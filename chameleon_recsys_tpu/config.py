@@ -161,6 +161,9 @@ class NARConfig:
 
     # kernels: route the session RNN through the fused Pallas scan
     use_pallas_rnn: bool = False
+    # negative sampling: TPU approx_max_k instead of a full sort for the
+    # per-click random-key selection (still a valid random draw; faster)
+    approx_negative_topk: bool = False
 
     @property
     def max_inputs_length(self) -> int:

@@ -34,6 +34,7 @@ from ..config import (
     SessionFeaturesSchema,
     embedding_dim_for_cardinality,
 )
+from ..ops.embedding import pool_gather
 from ..ops.normalization import log1p_base, log_base, normalize_values
 from ..ops.rnn import StackedUGRNN
 from .towers import FeatureTowers
@@ -299,9 +300,10 @@ class NARModel(nn.Module):
             u_pre = (user_ctx * gamma[:user_dim]) @ pre_kernel[:user_dim]
             i_pre = (pool_feats * gamma[user_dim:]) @ pre_kernel[user_dim:]
             const = beta @ pre_kernel + pre_bias
-            pre_neg = nn.leaky_relu(
-                u_pre[:, :, None, :] + i_pre[neg_pool_idx] + const
-            )
+            # pool_gather's VJP turns the gradient scatter into an MXU
+            # matmul (profiled: 6 ms scatter → 1.4 ms contraction)
+            i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T, K, C]
+            pre_neg = nn.leaky_relu(u_pre[:, :, None, :] + i_rows + const)
             neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)  # [B, T, K, C]
         else:
             neg_item_feats = item_features(neg_items, max_event_ts)

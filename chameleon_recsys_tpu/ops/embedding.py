@@ -1,0 +1,36 @@
+"""Embedding/table gather ops tuned for the TPU backward path.
+
+``pool_gather`` is a row gather whose VJP accumulates gradients with a
+one-hot matmul on the MXU instead of XLA's serialized scatter-add: profiling
+the G1-scale train step showed the default scatter into the ~1k-row
+candidate pool costing ~6 ms/step (a kCustom scatter over 243k update rows),
+while the equivalent ``one_hotᵀ · g`` contraction runs at matmul throughput.
+Only sensible for SMALL tables (the one-hot is [N, rows]); large tables
+(item embeddings over the full catalog) keep XLA's scatter.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def pool_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table [R, C], idx [...] int → [..., C]."""
+    return table[idx]
+
+
+def _pool_gather_fwd(table, idx):
+    return table[idx], (table, idx)
+
+
+def _pool_gather_bwd(res, g):
+    table, idx = res
+    flat_idx = idx.reshape(-1)
+    g_flat = g.reshape(-1, g.shape[-1])
+    onehot = jax.nn.one_hot(flat_idx, table.shape[0], dtype=g_flat.dtype)
+    d_table = (onehot.T @ g_flat).astype(table.dtype)
+    return d_table, None
+
+
+pool_gather.defvjp(_pool_gather_fwd, _pool_gather_bwd)

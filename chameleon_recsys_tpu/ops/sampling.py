@@ -88,7 +88,8 @@ def _per_click_topk(u, perm, sorted_vals, new_seg, seg_end, valid_sorted, k):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_negatives", "buffer_sample_size", "mult")
+    jax.jit,
+    static_argnames=("num_negatives", "buffer_sample_size", "mult", "approx_topk"),
 )
 def sample_negatives_pooled(
     rng: jax.Array,
@@ -98,6 +99,7 @@ def sample_negatives_pooled(
     num_negatives: int,
     buffer_sample_size: int,
     mult: int = 20,
+    approx_topk: bool = False,
 ):
     """Like sample_negatives, but additionally exposes the shared candidate
     pool and per-click indices into it.
@@ -141,7 +143,17 @@ def sample_negatives_pooled(
         u_sorted = jnp.where(valid_sorted_s, u_sorted, _INF)
         run_min = _segmented_cummin(u_sorted, new_seg)
         key = jnp.where(seg_end & valid_sorted_s, run_min, _INF)
-        neg_key, sorted_idx = lax.top_k(-key, num_negatives)
+        if approx_topk:
+            # TPU-binned approximate top-k instead of a full sort: since the
+            # keys are i.i.d. uniforms, a <100%-recall selection is still a
+            # valid random draw (a near-boundary candidate is swapped for
+            # another equally-random one); the full sort is the sampler's
+            # profiled hot spot
+            neg_key, sorted_idx = lax.approx_max_k(
+                -key, num_negatives, recall_target=0.95
+            )
+        else:
+            neg_key, sorted_idx = lax.top_k(-key, num_negatives)
         orig_idx = perm[sorted_idx]
         return jnp.where(jnp.isfinite(neg_key), orig_idx, nc)  # NC = sentinel
 

@@ -113,6 +113,7 @@ def build_nar_train(
             num_negatives=k,
             buffer_sample_size=m,
             mult=cfg.neg_sampling_multiplying_factor,
+            approx_topk=cfg.approx_negative_topk,
         )
         neg_idx = neg_idx[:, :-1, :]
         neg_ids = neg_ids[:, :-1, :]
