@@ -68,7 +68,12 @@ def main(argv=None):
     p.add_argument("--truncate_tokens_length", type=int, default=300)
     p.add_argument("--min_label_freq", type=int, default=2)
     p.add_argument("--articles_by_tfrecord", type=int, default=5000)
+    p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = p.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -81,7 +81,12 @@ def main(argv=None):
     parser.add_argument("--first_sentences", type=int, default=8)
     parser.add_argument("--truncate_tokens_length", type=int, default=300)
     parser.add_argument("--articles_by_tfrecord", type=int, default=5000)
+    parser.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -68,7 +68,12 @@ def main(argv=None):
     p.add_argument("--rnn_layers", type=int, default=1)
     p.add_argument("--truncate_tokens_length", type=int, default=300)
     p.add_argument("--autoencoder_noise", type=float, default=0.0)
+    p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = p.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     with open(args.input_word_vocab_embeddings_path, "rb") as f:
         vocab, word_embeddings = pickle.load(f)

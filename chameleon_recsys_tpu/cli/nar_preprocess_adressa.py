@@ -106,7 +106,12 @@ def main(argv=None):
                    help="pattern with * for the hour index")
     p.add_argument("--output_nar_preprocessing_resources_path", required=True)
     p.add_argument("--timezone", default="Europe/Oslo")
+    p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = p.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     clicks = []
     user_encoder: dict = {}

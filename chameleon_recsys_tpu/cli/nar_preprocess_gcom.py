@@ -74,7 +74,12 @@ def main(argv=None):
     parser.add_argument("--input_clicks_csv_path_regex", required=True)
     parser.add_argument("--output_sessions_tfrecords_path", required=True)
     parser.add_argument("--number_hours_to_preprocess", type=int, default=-1)
+    parser.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     schema = gcom_session_schema()
     files = sorted(glob.glob(args.input_clicks_csv_path_regex))

@@ -56,7 +56,12 @@ def main(argv=None):
     p.add_argument("--enabled_internal_features", default="ALL")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = p.parse_args(argv)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     with open(args.acr_module_resources_path, "rb") as f:
         _, metadata_raw, ace = pickle.load(f)

@@ -89,6 +89,8 @@ def create_args_parser():
     p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
     p.add_argument("--save_eval_sessions_recommendations", action="store_true")
     p.add_argument("--resume_checkpoint", default="")
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform (e.g. cpu)")
     return p
 
 
@@ -160,6 +162,10 @@ def default_benchmarks(ace_matrix):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = create_args_parser().parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     ace, metadata = load_acr_module_resources(
         args.acr_module_articles_metadata_csv_path,

@@ -48,11 +48,17 @@ def build_parser():
     p.add_argument("--eval_total_negative_samples", type=int, default=50)
     p.add_argument("--eval_metrics_top_n", type=int, default=10)
     p.add_argument("--eval_negative_sample_relevance", type=float, default=0.02)
+    p.add_argument("--platform", default="",
+                   help="force a JAX platform (e.g. cpu)")
     return p
 
 
 def run_from_args(args, model_factory=None):
     logging.basicConfig(level=logging.INFO)
+    if getattr(args, "platform", ""):
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     schema = gcom_session_schema(num_items=args.num_items)
     files = sorted(glob.glob(args.train_set_path_regex))
     if not files:

@@ -184,3 +184,37 @@ def test_full_cli_chain(raw_data, tmp_path):
         rows = list(csv.DictReader(f))
     assert len(rows) == 1
     assert 0.0 <= float(rows[0]["hitrate_at_n_chameleon"]) <= 1.0
+
+    # hyperparameter sweep CLI over the same artifacts (2 tiny trials)
+    from chameleon_recsys_tpu.cli import nar_hypertuning_gcom
+
+    sweep_dir = tmp_path / "sweep"
+    nar_hypertuning_gcom.main(
+        [
+            "--train_set_path_regex", str(sess_out / "sessions_hour_*.tfrecord.gz"),
+            "--acr_module_articles_metadata_csv_path", str(meta_csv),
+            "--acr_module_articles_content_embeddings_pickle_path", str(emb_pickle),
+            "--model_dir", str(sweep_dir),
+            "--training_hours_for_each_eval", "2",
+            "--batch_size", "8",
+            "--truncate_session_length", "6",
+            "--CAR_embedding_size", "16",
+            "--rnn_units", "12",
+            "--rnn_num_layers", "1",
+            "--train_total_negative_samples", "4",
+            "--train_negative_samples_from_buffer", "20",
+            "--eval_total_negative_samples", "4",
+            "--eval_negative_samples_from_buffer", "20",
+            "--eval_metrics_top_n", "3",
+            "--recent_clicks_buffer_max_size", "128",
+            "--recent_clicks_for_normalization", "64",
+            "--compute_dtype", "float32",
+            "--max_trials", "2",
+            "--param_grid", '{"rnn_units": [8, 12]}',
+        ]
+    )
+    assert (sweep_dir / "sweep_results.json").exists()
+    import json as _json
+
+    payload = _json.loads((sweep_dir / "sweep_results.json").read_text())
+    assert len(payload) == 2
