@@ -200,6 +200,73 @@ class ACRTrainer:
             log.info("ACR epoch %d: task loss %.5f", epoch, epoch_loss)
         return epoch_losses
 
+    def evaluate(self, articles: Dict[str, np.ndarray]) -> Dict[str, float]:
+        """Evaluate the classification heads on the TRAIN set — the
+        reference's deliberate-overfit check (acr_trainer_adressa.py:368-375):
+        accuracy for multiclass heads, precision/recall for multilabel
+        (acr_model.py:240-268)."""
+        if self.autoencoder or not self.label_specs:
+            return {}
+        import jax.numpy as jnp
+
+        @jax.jit
+        def predict_logits(params, batch):
+            labels = {s.name: batch[s.name] for s in self.label_specs}
+            out = self.model.apply(
+                {"params": params},
+                batch["text"],
+                batch["text_length"],
+                self.word_embeddings,
+                labels=None,
+                train=False,
+            )
+            return out.label_logits
+
+        stats = {
+            s.name: {"correct": 0, "total": 0, "tp": 0, "pred_pos": 0,
+                     "actual_pos": 0}
+            for s in self.label_specs
+        }
+        for batch, weight in _batched(articles, self.cfg.batch_size):
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+            logits = jax.tree_util.tree_map(
+                np.asarray, predict_logits(self.params, jbatch)
+            )
+            valid = weight > 0
+            for spec in self.label_specs:
+                lg = logits[spec.name][valid]
+                if spec.classification_type == "multiclass":
+                    preds = lg.argmax(axis=1)
+                    y = np.asarray(batch[spec.name])[valid]
+                    stats[spec.name]["correct"] += int((preds == y).sum())
+                    stats[spec.name]["total"] += len(y)
+                else:  # multilabel: sigmoid > 0.5 vs multi-hot of id lists
+                    pred_hot = (1.0 / (1.0 + np.exp(-lg))) > 0.5
+                    y_ids = np.asarray(batch[spec.name])[valid]
+                    true_hot = np.zeros_like(pred_hot)
+                    rows = np.repeat(np.arange(len(y_ids)), y_ids.shape[1])
+                    true_hot[rows, y_ids.reshape(-1)] = True
+                    true_hot[:, 0] = False  # padding class never positive
+                    st = stats[spec.name]
+                    st["tp"] += int((pred_hot & true_hot).sum())
+                    st["pred_pos"] += int(pred_hot.sum())
+                    st["actual_pos"] += int(true_hot.sum())
+        results: Dict[str, float] = {}
+        for spec in self.label_specs:
+            st = stats[spec.name]
+            if spec.classification_type == "multiclass":
+                results[f"accuracy-{spec.name}"] = (
+                    st["correct"] / max(st["total"], 1)
+                )
+            else:
+                results[f"precision-{spec.name}"] = (
+                    st["tp"] / max(st["pred_pos"], 1)
+                )
+                results[f"recall-{spec.name}"] = (
+                    st["tp"] / max(st["actual_pos"], 1)
+                )
+        return results
+
     def predict_all_ace(self, articles: Dict[str, np.ndarray]) -> np.ndarray:
         """ACE for every article row, in input order."""
         out = []

@@ -149,10 +149,10 @@ class NeuralBaselineRunner:
                 streaming,
                 recommender=self.recommender_name(),
             )
-            # the temporal protocol trains through the eval hour as well
-            self.model.fit_batch(
-                batch["item_clicked"], labels, self._buffer_ids()
-            )
+            # NO weight update here: the eval hour is trained as part of the
+            # NEXT chunk (the reference's chunking includes the former eval
+            # file in the following training chunk, run_gru4rec.py:141-199);
+            # only the popularity buffer advances, and it is restored below.
             self._update_buffer(batch)
         row = compute_metrics_results(streaming, recommender=self.recommender_name())
         self.metrics_log.append(row)

@@ -126,6 +126,11 @@ def main(argv=None):
 
     trainer = ACRTrainer(cfg, word_embeddings, label_specs, trainer_class_weights)
     trainer.fit(articles)
+    # evaluate on the TRAIN set — the reference's deliberate-overfit
+    # check (acr_trainer_adressa.py:368-375)
+    train_metrics = trainer.evaluate(articles)
+    if train_metrics:
+        print(f"Train-set metrics: {train_metrics}")
     ace_matrix = trainer.build_ace_matrix(articles)
 
     metadata = {

@@ -91,6 +91,9 @@ def create_args_parser():
     p.add_argument("--resume_checkpoint", default="")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu)")
+    p.add_argument("--use_native_loader", action="store_true",
+                   help="parse/collate session TFRecords with the C++ "
+                        "libchio loader instead of the Python path")
     return p
 
 
@@ -230,8 +233,19 @@ def main(argv=None):
     if args.resume_checkpoint:
         harness.load_checkpoint(args.resume_checkpoint)
 
-    def hour_source(hour_idx):
-        return read_sessions_tfrecord(files[hour_idx], session_schema)
+    if args.use_native_loader:
+        from ..native import NativeSessionLoader, native_available
+
+        if not native_available():
+            raise SystemExit("native loader unavailable (g++/zlib missing)")
+
+        def hour_source(hour_idx):
+            return NativeSessionLoader(files[hour_idx], session_schema)
+
+    else:
+
+        def hour_source(hour_idx):
+            return read_sessions_tfrecord(files[hour_idx], session_schema)
 
     harness.run(hour_source, hours=range(len(files)))
     harness.export_artifacts()

@@ -148,9 +148,18 @@ class TemporalHarness:
             seed=self.run_cfg.random_seed,
         )
 
-    def _batches(self, sessions: Sequence[Session]):
+    def _batches(self, source):
+        """Batch iterator over an hour's data.  ``source`` is either a
+        Session sequence (Python collation) or any object exposing
+        ``batches(batch_size, max_session_length)`` — e.g. the C++
+        NativeSessionLoader (native/loader.py), which parses and collates
+        TFRecords off the Python heap entirely."""
+        if hasattr(source, "batches"):
+            return source.batches(
+                self.cfg.batch_size, self.cfg.max_session_length
+            )
         return batches_from_sessions(
-            sessions,
+            source,
             self.session_schema,
             self.cfg.batch_size,
             self.cfg.max_session_length,

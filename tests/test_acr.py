@@ -99,3 +99,14 @@ def test_noncontiguous_ids_rejected():
     trainer.fit(articles)
     with pytest.raises(AssertionError):
         trainer.build_ace_matrix(articles)
+
+
+def test_acr_evaluate_on_train():
+    word_emb, articles, n_cats = _corpus()
+    cfg = _cfg(training_epochs=8, learning_rate=5e-3)
+    specs = (ACRLabelSpec("category_id", n_cats, "multiclass"),)
+    trainer = ACRTrainer(cfg, word_emb, specs)
+    trainer.fit(articles)
+    metrics = trainer.evaluate(articles)
+    # the objective is to overfit: train accuracy well above chance
+    assert metrics["accuracy-category_id"] > 1.5 / n_cats, metrics

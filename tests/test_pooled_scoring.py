@@ -81,3 +81,31 @@ def test_pooled_model_path_matches_dense():
         rtol=2e-4, atol=2e-5,
     )
     assert float(pooled.ce_loss) == pytest.approx(float(dense.ce_loss), rel=1e-4)
+
+
+def test_pooled_path_with_novelty_reg_trains():
+    """Novelty regularization reads negative ids; it must work on the pooled
+    path (train + keep_prob=1.0)."""
+    cfg = tiny_nar_config(novelty_reg_factor=0.1)
+    art = tiny_article_schema(150)
+    sess = tiny_session_schema(150)
+    corpus = make_synthetic_corpus(art, ace_dim=8)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+    sessions = synthetic_hour_sessions(
+        corpus, sess, 0, cfg.batch_size, cfg.max_session_length
+    )
+    batch = next(
+        iter(
+            batches_from_sessions(
+                sessions, sess, cfg.batch_size, cfg.max_session_length
+            )
+        )
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    from chameleon_recsys_tpu.train.steps import build_nar_train
+
+    _, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    step = build_nar_train(cfg, sess, art).train_step
+    state, metrics = step(state, batch, ace, metadata)
+    assert np.isfinite(float(metrics["loss"]))
