@@ -83,6 +83,10 @@ def create_args_parser():
     p.add_argument("--enabled_internal_features", default="ALL",
                    help="comma list of recency,novelty,article_content_embeddings,"
                         "item_clicked_embeddings, or ALL/NONE")
+    p.add_argument("--enabled_clicks_input_features_groups", default="ALL",
+                   help="comma list of time,device,location,referrer, or ALL/NONE")
+    p.add_argument("--enabled_articles_input_features_groups", default="ALL",
+                   help="comma list of category, or ALL/NONE")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
     p.add_argument("--eval_metrics_by_session_position", action="store_true")
     p.add_argument("--eval_cold_start", action="store_true")
@@ -176,8 +180,16 @@ def main(argv=None):
         args.content_embedding_scale_factor,
     )
     num_items = ace.shape[0]
-    article_schema = gcom_article_schema(num_items=num_items)
-    session_schema = gcom_session_schema(num_items=num_items)
+    from ..config import filter_article_schema, filter_session_schema
+
+    article_schema = filter_article_schema(
+        gcom_article_schema(num_items=num_items),
+        args.enabled_articles_input_features_groups,
+    )
+    session_schema = filter_session_schema(
+        gcom_session_schema(num_items=num_items),
+        args.enabled_clicks_input_features_groups,
+    )
 
     cfg = NARConfig(
         car_embedding_size=args.CAR_embedding_size,

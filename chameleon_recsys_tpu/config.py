@@ -236,6 +236,79 @@ def replace(cfg, **kwargs):
 
 
 # ---------------------------------------------------------------------------
+# Feature-group ablation toggles (the paper's Input-Configuration axes,
+# reference nar_trainer_gcom.py:109-231: enabled_articles_input_features_groups
+# and enabled_clicks_input_features_groups remove whole feature groups from
+# the schema, which drives both parsing and the feature towers)
+# ---------------------------------------------------------------------------
+
+ALL_FEATURES = "ALL"
+NO_FEATURES = "NONE"
+
+GCOM_SESSION_FEATURE_GROUPS = {
+    "time": ["local_hour_sin", "local_hour_cos", "local_weekday"],
+    "device": ["environment", "deviceGroup", "os"],
+    "location": ["country", "region"],
+    "referrer": ["referrer_type"],
+}
+
+GCOM_ARTICLE_FEATURE_GROUPS = {
+    "category": ["category_id"],
+}
+
+
+def _parse_groups(enabled) -> Optional[set]:
+    """'ALL' → None (keep everything); 'NONE' → empty set; csv/list → set."""
+    if enabled is None or enabled == ALL_FEATURES:
+        return None
+    if enabled == NO_FEATURES:
+        return set()
+    if isinstance(enabled, str):
+        return set(x.strip() for x in enabled.split(",") if x.strip())
+    return set(enabled)
+
+
+def filter_session_schema(
+    schema: "SessionFeaturesSchema", enabled_groups, groups_map=None
+) -> "SessionFeaturesSchema":
+    """Drop the sequence features of disabled groups (structural features —
+    item_clicked/event_timestamp and anything ungrouped — always stay)."""
+    enabled = _parse_groups(enabled_groups)
+    if enabled is None:
+        return schema
+    groups_map = groups_map or GCOM_SESSION_FEATURE_GROUPS
+    drop = {
+        f
+        for group, feats in groups_map.items()
+        if group not in enabled
+        for f in feats
+    }
+    return SessionFeaturesSchema(
+        single=schema.single,
+        sequence=tuple(f for f in schema.sequence if f.name not in drop),
+    )
+
+
+def filter_article_schema(
+    schema: "ArticleFeaturesSchema", enabled_groups, groups_map=None
+) -> "ArticleFeaturesSchema":
+    enabled = _parse_groups(enabled_groups)
+    if enabled is None:
+        return schema
+    groups_map = groups_map or GCOM_ARTICLE_FEATURE_GROUPS
+    drop = {
+        f
+        for group, feats in groups_map.items()
+        if group not in enabled
+        for f in feats
+    }
+    drop -= set(ARTICLE_REQ_FEATURES)
+    return ArticleFeaturesSchema(
+        features=tuple(f for f in schema.features if f.name not in drop)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Reference dataset schemas
 # ---------------------------------------------------------------------------
 
