@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--recent_clicks_for_normalization", type=int, default=2000)
     p.add_argument("--content_embedding_scale_factor", type=float, default=6.0)
     p.add_argument("--enabled_internal_features", default="ALL")
+    p.add_argument("--enabled_clicks_input_features_groups", default="ALL",
+                   help="comma list of time,device,location,referrer,"
+                        "engagement, or ALL/NONE")
+    p.add_argument("--enabled_articles_input_features_groups", default="ALL",
+                   help="comma list of category,author, or ALL/NONE")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
@@ -78,8 +83,23 @@ def main(argv=None):
             [ace, np.zeros((num_items - ace.shape[0], ace.shape[1]), np.float32)]
         )
 
-    article_schema = adressa_article_schema(num_items=num_items)
-    session_schema = adressa_session_schema(cardinalities)
+    from ..config import (
+        ADRESSA_ARTICLE_FEATURE_GROUPS,
+        ADRESSA_SESSION_FEATURE_GROUPS,
+        filter_article_schema,
+        filter_session_schema,
+    )
+
+    article_schema = filter_article_schema(
+        adressa_article_schema(num_items=num_items),
+        args.enabled_articles_input_features_groups,
+        groups_map=ADRESSA_ARTICLE_FEATURE_GROUPS,
+    )
+    session_schema = filter_session_schema(
+        adressa_session_schema(cardinalities),
+        args.enabled_clicks_input_features_groups,
+        groups_map=ADRESSA_SESSION_FEATURE_GROUPS,
+    )
 
     metadata = {}
     for spec in article_schema.features:

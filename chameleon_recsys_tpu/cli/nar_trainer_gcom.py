@@ -36,6 +36,8 @@ from ..config import (
     NARConfig,
     RunConfig,
     TIME_UNIT_MS,
+    filter_article_schema,
+    filter_session_schema,
     gcom_article_schema,
     gcom_session_schema,
 )
@@ -180,8 +182,6 @@ def main(argv=None):
         args.content_embedding_scale_factor,
     )
     num_items = ace.shape[0]
-    from ..config import filter_article_schema, filter_session_schema
-
     article_schema = filter_article_schema(
         gcom_article_schema(num_items=num_items),
         args.enabled_articles_input_features_groups,

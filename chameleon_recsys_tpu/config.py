@@ -257,15 +257,56 @@ GCOM_ARTICLE_FEATURE_GROUPS = {
 }
 
 
+ADRESSA_SESSION_FEATURE_GROUPS = {
+    "time": ["local_hour_sin", "local_hour_cos", "weekday"],
+    "device": ["device", "os"],
+    "location": ["city", "region", "country"],
+    "referrer": ["referrer_class"],
+    "engagement": ["active_time_secs"],
+}
+
+ADRESSA_ARTICLE_FEATURE_GROUPS = {
+    "category": ["category0", "category1"],
+    "author": ["author"],
+}
+
+
 def _parse_groups(enabled) -> Optional[set]:
-    """'ALL' → None (keep everything); 'NONE' → empty set; csv/list → set."""
-    if enabled is None or enabled == ALL_FEATURES:
+    """'ALL'/['ALL'] → None (keep everything); 'NONE'/['NONE'] → empty set;
+    csv string or list of names → set of group names."""
+    if enabled is None:
         return None
-    if enabled == NO_FEATURES:
-        return set()
     if isinstance(enabled, str):
-        return set(x.strip() for x in enabled.split(",") if x.strip())
-    return set(enabled)
+        names = [x.strip() for x in enabled.split(",") if x.strip()]
+    else:
+        names = [str(x).strip() for x in enabled]
+    if ALL_FEATURES in names:
+        return None
+    if names == [NO_FEATURES] or not names:
+        return set()
+    return set(names)
+
+
+def _group_drop_set(enabled_groups, groups_map, protected) -> Optional[set]:
+    """Features of disabled groups, never touching ``protected`` names.
+    Unknown group names are an error — a silently-misspelled ablation flag
+    would attribute results to the wrong input configuration."""
+    enabled = _parse_groups(enabled_groups)
+    if enabled is None:
+        return None
+    unknown = enabled - set(groups_map)
+    if unknown:
+        raise ValueError(
+            f"unknown feature groups {sorted(unknown)}; "
+            f"valid: {sorted(groups_map)} (or ALL/NONE)"
+        )
+    drop = {
+        f
+        for group, feats in groups_map.items()
+        if group not in enabled
+        for f in feats
+    }
+    return drop - set(protected)
 
 
 def filter_session_schema(
@@ -273,16 +314,13 @@ def filter_session_schema(
 ) -> "SessionFeaturesSchema":
     """Drop the sequence features of disabled groups (structural features —
     item_clicked/event_timestamp and anything ungrouped — always stay)."""
-    enabled = _parse_groups(enabled_groups)
-    if enabled is None:
+    drop = _group_drop_set(
+        enabled_groups,
+        groups_map or GCOM_SESSION_FEATURE_GROUPS,
+        SESSION_REQ_SEQ_FEATURES,
+    )
+    if drop is None:
         return schema
-    groups_map = groups_map or GCOM_SESSION_FEATURE_GROUPS
-    drop = {
-        f
-        for group, feats in groups_map.items()
-        if group not in enabled
-        for f in feats
-    }
     return SessionFeaturesSchema(
         single=schema.single,
         sequence=tuple(f for f in schema.sequence if f.name not in drop),
@@ -292,17 +330,13 @@ def filter_session_schema(
 def filter_article_schema(
     schema: "ArticleFeaturesSchema", enabled_groups, groups_map=None
 ) -> "ArticleFeaturesSchema":
-    enabled = _parse_groups(enabled_groups)
-    if enabled is None:
+    drop = _group_drop_set(
+        enabled_groups,
+        groups_map or GCOM_ARTICLE_FEATURE_GROUPS,
+        ARTICLE_REQ_FEATURES,
+    )
+    if drop is None:
         return schema
-    groups_map = groups_map or GCOM_ARTICLE_FEATURE_GROUPS
-    drop = {
-        f
-        for group, feats in groups_map.items()
-        if group not in enabled
-        for f in feats
-    }
-    drop -= set(ARTICLE_REQ_FEATURES)
     return ArticleFeaturesSchema(
         features=tuple(f for f in schema.features if f.name not in drop)
     )

@@ -82,3 +82,27 @@ def test_model_trains_with_ablated_features(internal):
     step = build_nar_train(cfg, sess, art).train_step
     state, metrics = step(state, batch, ace, metadata)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_unknown_group_rejected():
+    schema = gcom_session_schema()
+    with pytest.raises(ValueError, match="unknown feature groups"):
+        filter_session_schema(schema, "time,locaton")
+
+
+def test_list_form_all_none():
+    schema = gcom_session_schema()
+    assert filter_session_schema(schema, ["ALL"]) is schema
+    none = filter_session_schema(schema, ["NONE"])
+    assert [f.name for f in none.sequence] == ["event_timestamp", "item_clicked"]
+
+
+def test_structural_features_protected_with_custom_map():
+    schema = gcom_session_schema()
+    # even a malicious custom map cannot drop structural features
+    filtered = filter_session_schema(
+        schema, "NONE", groups_map={"g": ["item_clicked", "event_timestamp", "os"]}
+    )
+    names = [f.name for f in filtered.sequence]
+    assert "item_clicked" in names and "event_timestamp" in names
+    assert "os" not in names
