@@ -137,6 +137,74 @@ def synthetic_markov_hour_sessions(
     return sessions
 
 
+def synthetic_contextual_hour_sessions(
+    corpus: SyntheticCorpus,
+    session_schema: SessionFeaturesSchema,
+    hour_index: int,
+    num_sessions: int,
+    context_feature: str = "device",
+    num_context_values: int = 4,
+    successors_per_context: int = 2,
+    max_session_length: int = 20,
+    base_epoch: int = 72 * SECONDS_PER_HOUR,
+    follow_prob: float = 0.85,
+    seed: int = 42,
+) -> List[Session]:
+    """Sessions whose next click depends on (current item, current CONTEXT):
+    each (item, context-value) pair has its own successor set.  Counting
+    baselines (co-occurrence, sequential rules) marginalize over context and
+    top out; a model that fuses the context feature — the NAR's user-context
+    towers — can separate the regimes."""
+    graph_rng = np.random.RandomState(seed + 99)
+    succ = graph_rng.randint(
+        1, corpus.num_items,
+        size=(corpus.num_items, num_context_values + 1, successors_per_context),
+    )
+    rng = np.random.RandomState(seed + 1000 * hour_index)
+    hour_start = base_epoch + hour_index * SECONDS_PER_HOUR
+    weights = corpus.item_popularity.copy()
+    weights[0] = 0.0
+    probs = weights / weights.sum()
+    ctx_specs = session_schema.context_sequence_features()
+
+    sessions = []
+    for i in range(num_sessions):
+        n = int(rng.randint(2, max_session_length + 1))
+        ctx_vals = rng.randint(1, num_context_values + 1, size=n)
+        items = [int(rng.choice(corpus.num_items, p=probs))]
+        while len(items) < n:
+            t = len(items) - 1
+            if rng.rand() < follow_prob:
+                nxt = int(rng.choice(succ[items[-1], ctx_vals[t]]))
+            else:
+                nxt = int(rng.choice(corpus.num_items, p=probs))
+            items.append(max(nxt, 1))
+        start = hour_start + int(rng.randint(0, SECONDS_PER_HOUR - n * 30))
+        ts = start + np.cumsum(rng.randint(5, 30, size=n))
+        context = {}
+        for spec in ctx_specs:
+            if spec.name == context_feature:
+                context[spec.name] = ctx_vals.tolist()
+            elif spec.kind == "categorical":
+                context[spec.name] = rng.randint(1, spec.cardinality, size=n).tolist()
+            else:
+                context[spec.name] = rng.uniform(-1, 1, size=n).astype(
+                    np.float32
+                ).tolist()
+        sessions.append(
+            Session(
+                session_id=hour_index * 10_000_000 + i,
+                user_id=int(rng.randint(1, 100000)),
+                session_start=int(start),
+                item_ids=items,
+                timestamps=ts.astype(np.int64).tolist(),
+                context=context,
+            )
+        )
+    sessions.sort(key=lambda s: s.session_start)
+    return sessions
+
+
 def synthetic_hour_sessions(
     corpus: SyntheticCorpus,
     session_schema: SessionFeaturesSchema,

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (
-    ARTICLE_REQ_FEATURES,
     ArticleFeaturesSchema,
     NARConfig,
     SECONDS_PER_DAY,
@@ -40,6 +39,9 @@ from ..ops.rnn import StackedUGRNN
 from .towers import FeatureTowers
 
 _he_init = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+# tf.nn.leaky_relu's default alpha (the reference never overrides it); JAX's
+# nn.leaky_relu defaults to 0.01, which would silently change the activation
+_LEAKY_ALPHA = 0.2
 _lecun_uniform = nn.initializers.variance_scaling(1.0, "fan_in", "uniform")
 
 
@@ -280,7 +282,8 @@ class NARModel(nn.Module):
         ).astype(dtype)
 
         def car_tower(x):
-            pre = nn.leaky_relu(x @ pre_kernel + pre_bias)
+            pre = nn.leaky_relu(x @ pre_kernel + pre_bias,
+                                negative_slope=_LEAKY_ALPHA)
             return jnp.tanh(pre @ car_kernel + car_bias)
 
         input_car = car_tower(input_feats)  # [B, T, C]
@@ -301,9 +304,17 @@ class NARModel(nn.Module):
             i_pre = (pool_feats * gamma[user_dim:]) @ pre_kernel[user_dim:]
             const = beta @ pre_kernel + pre_bias
             # pool_gather's VJP turns the gradient scatter into an MXU
-            # matmul (profiled: 6 ms scatter → 1.4 ms contraction)
+            # matmul (profiled: 6 ms scatter → 1.4 ms contraction).
+            # Exactness caveat: on buffer-EMPTY steps (the very first batch)
+            # the recency/novelty fallback stats are computed over the pool's
+            # 1000 sampled slots rather than the [B,T,K] per-click multiset
+            # the dense path sees — both popularity-weighted, slightly
+            # different weighting for that one cold-start step.
             i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T, K, C]
-            pre_neg = nn.leaky_relu(u_pre[:, :, None, :] + i_rows + const)
+            pre_neg = nn.leaky_relu(
+                u_pre[:, :, None, :] + i_rows + const,
+                negative_slope=_LEAKY_ALPHA,
+            )
             neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)  # [B, T, K, C]
         else:
             neg_item_feats = item_features(neg_items, max_event_ts)
@@ -333,7 +344,7 @@ class NARModel(nn.Module):
             dtype=dtype,
             name="session_FC2",
         )
-        h = nn.leaky_relu(fc1(rnn_out))
+        h = nn.leaky_relu(fc1(rnn_out), negative_slope=_LEAKY_ALPHA)
         h = dropout(h, deterministic=not train)
         predicted_emb = jnp.tanh(fc2(h))  # [B, T, C]
 
@@ -348,7 +359,7 @@ class NARModel(nn.Module):
 
         def match_score(x):
             for layer in matching:
-                x = nn.leaky_relu(layer(x))
+                x = nn.leaky_relu(layer(x), negative_slope=_LEAKY_ALPHA)
             return matching_out(x)[..., 0]
 
         pos_score = match_score(pos_car * predicted_emb)  # [B, T]

@@ -75,18 +75,6 @@ def _session_sort(candidates: jax.Array):
     return perm, sorted_vals, new_seg, seg_end
 
 
-def _per_click_topk(u, perm, sorted_vals, new_seg, seg_end, valid_sorted, k):
-    """First-K distinct valid candidates of one simulated shuffle."""
-    u_sorted = u[perm]
-    u_sorted = jnp.where(valid_sorted, u_sorted, _INF)
-    run_min = _segmented_cummin(u_sorted, new_seg)
-    # One representative per distinct value, carrying the min key of its run.
-    key = jnp.where(seg_end & valid_sorted, run_min, _INF)
-    neg_key, idx = lax.top_k(-key, k)
-    vals = sorted_vals[idx]
-    return jnp.where(jnp.isfinite(neg_key), vals, 0)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("num_negatives", "buffer_sample_size", "mult", "approx_topk"),
@@ -194,44 +182,12 @@ def sample_negatives(
       int32 [B, L, num_negatives]; the caller drops the final column
       (nar_model.py:275).
     """
-    b, l = all_clicked_items.shape
-    # Pools smaller than mult*K simply yield fewer candidates, like the
-    # reference's [:mult*K] slice of the shuffled pool (nar_model.py:1300).
-    nc = min(num_negatives * mult, b * l + buffer_sample_size)
-    rng_buf, rng_pool, rng_u = jax.random.split(rng, 3)
-
-    buffer_sample = sample_from_buffer(rng_buf, buffer_ids, buffer_sample_size)
-
-    # Candidate pool: batch items with repetitions (popularity-biased) plus
-    # the buffer sample; shuffle and keep the first mult*K (nar_model.py:1286-1300).
-    pool = jnp.concatenate(
-        [all_clicked_items.reshape(-1).astype(jnp.int32), buffer_sample]
+    _, _, neg_ids = sample_negatives_pooled(
+        rng,
+        all_clicked_items,
+        buffer_ids,
+        num_negatives=num_negatives,
+        buffer_sample_size=buffer_sample_size,
+        mult=mult,
     )
-    pool_keys = jax.random.uniform(rng_pool, pool.shape)
-    pool_keys = jnp.where(pool != 0, pool_keys, _INF)
-    neg_keys, idx = lax.top_k(-pool_keys, nc)
-    cand = jnp.where(jnp.isfinite(neg_keys), pool[idx], 0)  # [NC]
-
-    # Per-session exclusion of in-session items (nar_model.py:1257-1259).
-    def session_valid(sess_items):
-        hit = jnp.any(cand[:, None] == sess_items[None, :], axis=-1)
-        return (cand != 0) & ~hit
-
-    valid = jax.vmap(session_valid)(all_clicked_items)  # [B, NC]
-
-    perm, sorted_vals, new_seg, seg_end = _session_sort(cand)
-    valid_sorted = jax.vmap(lambda v: v[perm])(valid)  # [B, NC]
-
-    u = jax.random.uniform(rng_u, (b, l, cand.shape[0]))
-
-    def per_session(u_s, valid_sorted_s, clicks_s):
-        def per_click(u_c, click_id):
-            neg = _per_click_topk(
-                u_c, perm, sorted_vals, new_seg, seg_end, valid_sorted_s,
-                num_negatives,
-            )
-            return jnp.where(click_id != 0, neg, jnp.zeros_like(neg))
-
-        return jax.vmap(per_click)(u_s, clicks_s)
-
-    return jax.vmap(per_session)(u, valid_sorted, all_clicked_items)
+    return neg_ids

@@ -185,7 +185,6 @@ def build_nar_train(
             "labels": batch["label_next_item"],
             "neg_items": out.candidate_ids[..., 1:],
             "clicked_items": batch["item_clicked"],
-            "recent_pop_norm": state.stream.recent_pop_norm,
         }
         new_state = NARTrainState(
             state.params,

@@ -29,7 +29,13 @@ def main():
     parser.add_argument("--rnn_units", type=int, default=64)
     parser.add_argument("--car_size", type=int, default=128)
     parser.add_argument("--negatives", type=int, default=20)
+    parser.add_argument("--top_n", type=int, default=10)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--stream", default="markov",
+                        choices=["markov", "contextual"],
+                        help="markov: item->item transitions; contextual: "
+                             "(item, device)->item transitions that counting "
+                             "baselines cannot separate")
     args = parser.parse_args()
 
     if args.platform:
@@ -54,6 +60,7 @@ def main():
     from chameleon_recsys_tpu.data.synthetic import (
         make_synthetic_corpus,
         make_transition_graph,
+        synthetic_contextual_hour_sessions,
         synthetic_markov_hour_sessions,
     )
     from chameleon_recsys_tpu.train.temporal import BenchmarkSpec, TemporalHarness
@@ -94,7 +101,7 @@ def main():
         recent_clicks_for_normalization=1000,
         batch_size=args.batch_size,
         max_session_length=12,
-        metrics_top_n=10,
+        metrics_top_n=args.top_n,
     )
     corpus = make_synthetic_corpus(art, ace_dim=64)
     graph = make_transition_graph(num_items)
@@ -115,6 +122,12 @@ def main():
     )
 
     def hour_source(h):
+        if args.stream == "contextual":
+            return synthetic_contextual_hour_sessions(
+                corpus, sess, h, args.sessions_per_hour,
+                successors_per_context=5,
+                max_session_length=cfg.max_session_length,
+            )
         return synthetic_markov_hour_sessions(
             corpus, sess, graph, h, args.sessions_per_hour,
             cfg.max_session_length,
