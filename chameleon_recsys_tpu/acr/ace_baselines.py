@@ -72,11 +72,13 @@ def w2v_tfidf_ace(
         toks = token_ids[i][token_ids[i] != 0]
         if len(toks) == 0:
             continue
-        counts = np.bincount(toks, minlength=vocab).astype(np.float64)
-        tf = counts[toks] / len(toks)
-        weights = tf * idf[toks]
+        # one tf·idf weight per UNIQUE word (like TfidfVectorizer) — weighting
+        # every occurrence would count repeated words quadratically
+        uniq, counts = np.unique(toks, return_counts=True)
+        tf = counts.astype(np.float64) / len(toks)
+        weights = tf * idf[uniq]
         weights /= max(weights.sum(), 1e-12)
-        docs[i] = weights @ word_embeddings[toks]
+        docs[i] = weights @ word_embeddings[uniq]
     return _with_padding_row(_l2_normalize_rows(docs).astype(np.float32))
 
 

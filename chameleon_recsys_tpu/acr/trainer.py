@@ -99,7 +99,7 @@ class ACRTrainer:
         self._predict_ace = jax.jit(self._predict_fn)
 
     # -- forward/step -------------------------------------------------------
-    def _apply(self, params, batch, rngs, train):
+    def _apply(self, params, batch, rngs, train, example_weights=None):
         if self.autoencoder:
             ace, _, loss = self.model.apply(
                 {"params": params},
@@ -107,6 +107,7 @@ class ACRTrainer:
                 batch["text_length"],
                 self.word_embeddings,
                 self.special_token_embedding,
+                example_weights,
                 train=train,
                 rngs=rngs,
             )
@@ -119,6 +120,7 @@ class ACRTrainer:
             self.word_embeddings,
             labels=labels,
             label_class_weights=self.label_class_weights,
+            example_weights=example_weights,
             train=train,
             rngs=rngs,
         )
@@ -133,11 +135,13 @@ class ACRTrainer:
             total = total + jnp.sum(jnp.square(leaf.astype(jnp.float32))) / 2.0
         return self.cfg.l2_reg_lambda * total
 
-    def _train_step_fn(self, params, opt_state, batch, rng):
+    def _train_step_fn(self, params, opt_state, batch, rng, weights):
         rngs = {"dropout": rng, "noise": jax.random.fold_in(rng, 1)}
 
         def loss_fn(p):
-            _, task_loss = self._apply(p, batch, rngs, train=True)
+            _, task_loss = self._apply(
+                p, batch, rngs, train=True, example_weights=weights
+            )
             return task_loss + self._l2(p), task_loss
 
         (loss, task_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -188,11 +192,12 @@ class ACRTrainer:
         epoch_losses = []
         for epoch in range(cfg.training_epochs):
             losses = []
-            for batch, _ in _batched(articles, cfg.batch_size, shuffle_rng):
+            for batch, weight in _batched(articles, cfg.batch_size, shuffle_rng):
                 self.rng, step_rng = jax.random.split(self.rng)
                 jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
                 self.params, self.opt_state, loss, task_loss = self._train_step(
-                    self.params, self.opt_state, jbatch, step_rng
+                    self.params, self.opt_state, jbatch, step_rng,
+                    jnp.asarray(weight),
                 )
                 losses.append(task_loss)
             epoch_loss = float(np.mean([float(x) for x in losses]))

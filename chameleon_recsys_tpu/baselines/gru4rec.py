@@ -64,8 +64,11 @@ def init_gru4rec_params(rng, n_items: int, layers: Tuple[int, ...]) -> GRU4RecPa
 
 
 def _forward_states(params: GRU4RecParams, items: jax.Array, mask: jax.Array,
-                    layers: Tuple[int, ...]):
-    """Hidden states for every step: items [B, T] → h [B, T, U_last]."""
+                    layers: Tuple[int, ...], dropout_p_hidden: float = 0.0,
+                    dropout_rng=None):
+    """Hidden states for every step: items [B, T] → h [B, T, U_last];
+    inter-layer dropout like the reference's drop_p_hidden
+    (gru4rec2.py model(), applied to each layer's output during training)."""
     b, t = items.shape
 
     def layer_scan(layer_idx, inputs_bt):
@@ -96,6 +99,10 @@ def _forward_states(params: GRU4RecParams, items: jax.Array, mask: jax.Array,
     h = None
     for i in range(len(layers)):
         h = layer_scan(i, h)
+        if dropout_p_hidden > 0.0 and dropout_rng is not None:
+            dropout_rng, key = jax.random.split(dropout_rng)
+            keep = jax.random.bernoulli(key, 1.0 - dropout_p_hidden, h.shape)
+            h = jnp.where(keep, h / (1.0 - dropout_p_hidden), 0.0)
     return h
 
 
@@ -158,6 +165,7 @@ class GRU4RecJax:
         self.loss_name = loss
         self.bpreg = bpreg
         self.n_sample = n_sample
+        self.dropout_p_hidden = dropout_p_hidden
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_gru4rec_params(init_rng, n_items, self.layers)
@@ -166,9 +174,13 @@ class GRU4RecJax:
         self._train_step = jax.jit(self._train_step_fn)
         self._score_candidates = jax.jit(self._score_candidates_fn)
 
-    def _loss_for_batch(self, params, items, labels, mask, neg_sample):
+    def _loss_for_batch(self, params, items, labels, mask, neg_sample,
+                        dropout_rng=None):
         layers = self.layers
-        h = _forward_states(params, items, mask, layers)  # [B, T, U]
+        h = _forward_states(
+            params, items, mask, layers,
+            dropout_p_hidden=self.dropout_p_hidden, dropout_rng=dropout_rng,
+        )  # [B, T, U]
         b, t, u = h.shape
 
         def per_step(h_t, labels_t, mask_t):
@@ -188,9 +200,10 @@ class GRU4RecJax:
         total = jnp.sum(counts)
         return jnp.sum(losses * counts) / jnp.maximum(total, 1.0)
 
-    def _train_step_fn(self, params, opt_state, items, labels, mask, neg_sample):
+    def _train_step_fn(self, params, opt_state, items, labels, mask, neg_sample,
+                       dropout_rng):
         loss, grads = jax.value_and_grad(self._loss_for_batch)(
-            params, items, labels, mask, neg_sample
+            params, items, labels, mask, neg_sample, dropout_rng
         )
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -212,9 +225,10 @@ class GRU4RecJax:
         if len(nonzero) == 0:
             nonzero = np.array([1])
         neg = jax.random.choice(k, jnp.asarray(nonzero), (self.n_sample,))
+        self.rng, drop_rng = jax.random.split(self.rng)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, jnp.asarray(items), jnp.asarray(labels),
-            mask, neg,
+            mask, neg, drop_rng,
         )
         return float(loss)
 

@@ -127,9 +127,18 @@ class NeuralBaselineRunner:
                 if stored is None:  # sample fresh when no NAR log provided
                     pool = self._buffer_ids()
                     pool = pool[pool != 0]
+                    # exclude the session's own items (incl. every label) so
+                    # a "negative" can never be the positive itself
+                    session_items = set(
+                        batch["item_clicked"][i].tolist() + labels[i].tolist()
+                    ) - {0}
+                    valid_pool = pool[~np.isin(pool, list(session_items))]
                     for j in range(t):
-                        if labels[i, j] != 0 and len(pool):
-                            neg[i, j] = self.rng.choice(pool, size=k)
+                        if labels[i, j] != 0 and len(valid_pool):
+                            take = min(k, len(np.unique(valid_pool)))
+                            neg[i, j, :take] = self.rng.choice(
+                                np.unique(valid_pool), size=take, replace=False
+                            )
                 else:
                     valid_cols = [j for j in range(t) if labels[i, j] != 0]
                     for idx, j in enumerate(valid_cols):

@@ -26,11 +26,19 @@ class SequentialRulesRecommender(BenchmarkRecommender):
         super().__init__(state_view, params, streaming_metrics)
         self.max_clicks_dist = params["max_clicks_dist"]
         self.decay_fn = DECAY_FNS[params["dist_between_clicks_decay"]]
-        # rules dict persists across train/eval through the shared host state
         states = state_view.benchmarks_states
         if self.get_clf_suffix() not in states:
             states[self.get_clf_suffix()] = {"rules": defaultdict(dict)}
-        self.rules = states[self.get_clf_suffix()]["rules"]
+
+    @property
+    def rules(self):
+        # read through the host state EVERY access (never cache the dict):
+        # save/restore_state_checkpoint REBINDS benchmarks_states around each
+        # eval hour, and a cached reference would keep eval-hour pollution
+        states = self.state_view.benchmarks_states
+        if self.get_clf_suffix() not in states:
+            states[self.get_clf_suffix()] = {"rules": defaultdict(dict)}
+        return states[self.get_clf_suffix()]["rules"]
 
     def get_clf_suffix(self):
         return "sr"

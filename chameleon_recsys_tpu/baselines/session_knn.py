@@ -48,9 +48,26 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
                 "sessions": {},
                 "item_sessions": defaultdict(set),
             }
-        st = states[self.get_clf_suffix()]
-        self.sessions: Dict[int, Set[int]] = st["sessions"]
-        self.item_sessions: Dict[int, Set[int]] = st["item_sessions"]
+
+    def _state(self):
+        # read through the host state EVERY access (never cache the dicts):
+        # save/restore_state_checkpoint REBINDS benchmarks_states around each
+        # eval hour, and cached references would keep eval-hour pollution
+        states = self.state_view.benchmarks_states
+        if self.get_clf_suffix() not in states:
+            states[self.get_clf_suffix()] = {
+                "sessions": {},
+                "item_sessions": defaultdict(set),
+            }
+        return states[self.get_clf_suffix()]
+
+    @property
+    def sessions(self) -> Dict[int, Set[int]]:
+        return self._state()["sessions"]
+
+    @property
+    def item_sessions(self) -> Dict[int, Set[int]]:
+        return self._state()["item_sessions"]
 
     def get_clf_suffix(self):
         return "sknn" if self.first_clicks_decay == "same" else "v-sknn"

@@ -86,6 +86,7 @@ class ACRClassifierModel(nn.Module):
         word_embeddings: jax.Array,  # [vocab, word_dim] frozen
         labels: Optional[Dict[str, jax.Array]] = None,
         label_class_weights: Optional[Dict[str, jax.Array]] = None,
+        example_weights: Optional[jax.Array] = None,  # [B] 0 = padded row
         *,
         train: bool = False,
     ) -> ACROutputs:
@@ -147,15 +148,20 @@ class ACRClassifierModel(nn.Module):
             if labels is None:
                 continue
             y = labels[spec.name]
+            ew = (
+                jnp.ones(y.shape[0])
+                if example_weights is None
+                else example_weights.astype(jnp.float32)
+            )
             if spec.classification_type == "multiclass":
                 log_probs = jax.nn.log_softmax(logits)
                 xe = -jnp.take_along_axis(log_probs, y[:, None], axis=1)[:, 0]
                 if label_class_weights and spec.name in label_class_weights:
-                    w = label_class_weights[spec.name][y]
-                    # tf.losses weighted mean: Σ w·xe / Σ w
-                    loss = jnp.sum(xe * w) / jnp.maximum(jnp.sum(w), 1e-9)
+                    w = label_class_weights[spec.name][y] * ew
                 else:
-                    loss = jnp.mean(xe)
+                    w = ew
+                # tf.losses weighted mean: Σ w·xe / Σ w
+                loss = jnp.sum(xe * w) / jnp.maximum(jnp.sum(w), 1e-9)
             elif spec.classification_type == "multilabel":
                 # labels y: [B, num_ids] padded id lists → multi-hot with the
                 # padding class zeroed (acr_model.py:202-210)
@@ -163,7 +169,8 @@ class ACRClassifierModel(nn.Module):
                 multi_hot = multi_hot.at[jnp.arange(y.shape[0])[:, None], y].set(1.0)
                 multi_hot = multi_hot.at[:, 0].set(0.0)
                 xe = optax_sigmoid_xe(logits, multi_hot)
-                loss = jnp.mean(jnp.mean(xe, axis=1))
+                per_example = jnp.mean(xe, axis=1)
+                loss = jnp.sum(per_example * ew) / jnp.maximum(jnp.sum(ew), 1e-9)
             else:
                 raise ValueError(spec.classification_type)
             per_label_loss[spec.name] = loss
@@ -195,6 +202,7 @@ class ACRAutoencoderModel(nn.Module):
         text_length: jax.Array,  # [B]
         word_embeddings: jax.Array,  # [vocab, word_dim]
         special_token_embedding: jax.Array,  # [1, word_dim]
+        example_weights: Optional[jax.Array] = None,  # [B] 0 = padded row
         *,
         train: bool = False,
     ):
@@ -251,6 +259,8 @@ class ACRAutoencoderModel(nn.Module):
         )(dec_out).astype(jnp.float32)
 
         mask = (text_tokens != 0).astype(jnp.float32)[..., None]
+        if example_weights is not None:
+            mask = mask * example_weights.astype(jnp.float32)[:, None, None]
         mask = jnp.broadcast_to(mask, emb.shape)
         target = emb.astype(jnp.float32)
         sq_err = jnp.square(target * mask - reconstructed * mask)

@@ -17,24 +17,39 @@ import numpy as np
 from ..config import SessionFeaturesSchema, TIME_UNIT_MS
 
 _SRC = Path(__file__).parent / "chio.cc"
-_LIB = Path(__file__).parent / "libchio.so"
 _lib_handle = None
 _build_error: Optional[str] = None
 
 
+def _lib_path() -> Path:
+    """Content-addressed build output: the binary is keyed by a hash of the
+    source, so editing chio.cc always rebuilds and a stale/foreign-arch
+    binary is never loaded (mtime checks are unreliable across git checkouts,
+    and -march=native binaries must never travel between machines)."""
+    import hashlib
+
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    return Path(__file__).parent / f"libchio-{digest}.so"
+
+
 def _build_library() -> Optional[ctypes.CDLL]:
     global _build_error
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    lib_file = _lib_path()
+    if not lib_file.exists():
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", str(_LIB), str(_SRC), "-lz",
+            "-o", str(lib_file), str(_SRC), "-lz",
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError) as e:
             _build_error = getattr(e, "stderr", str(e))
             return None
-    lib = ctypes.CDLL(str(_LIB))
+    try:
+        lib = ctypes.CDLL(str(lib_file))
+    except OSError as e:  # wrong-arch or corrupt binary
+        _build_error = str(e)
+        return None
     lib.chio_load_sessions.restype = ctypes.c_void_p
     lib.chio_load_sessions.argtypes = [ctypes.c_char_p]
     lib.chio_session_count.restype = ctypes.c_int

@@ -187,12 +187,25 @@ class TemporalHarness:
             )
             # Host-side structures learn from train batches too
             # (reference nar_model.py:1628-1650 runs in both modes).
+            if self.eval_cold_start:
+                self._register_batch_clicks(np_batch)
             self._train_host_side(np_batch)
             self.train_meter.start()
         self.train_meter.stop(0)
         self.hours_trained += 1
         avg_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
         return {"steps": n_steps, "avg_ce_loss": avg_loss}
+
+    def _register_batch_clicks(self, np_batch):
+        """Step counter + first-click registration (must run BEFORE any
+        cold-start recommendation check for this batch, reference
+        nar_model.py:1481-1494)."""
+        self.host_state.increment_current_step()
+        clicked = np_batch["item_clicked"]
+        labels = np_batch["label_next_item"]
+        nonzero = set(clicked.reshape(-1)) | set(labels.reshape(-1))
+        nonzero.discard(0)
+        self.host_state.update_items_first_click_step(np.array(sorted(nonzero)))
 
     def _train_host_side(self, np_batch):
         if not self.bench_classifiers and not self.eval_cold_start:
@@ -202,12 +215,6 @@ class TemporalHarness:
             [clicked, np_batch["label_last_item"]], axis=1
         )
         self.host_state.update_items_coocurrences(all_clicked)
-        if self.eval_cold_start:
-            self.host_state.increment_current_step()
-            labels = np_batch["label_next_item"]
-            nonzero = set(clicked.reshape(-1)) | set(labels.reshape(-1))
-            nonzero.discard(0)
-            self.host_state.update_items_first_click_step(np.array(sorted(nonzero)))
         self._refresh_state_view()
         for clf in self.bench_classifiers:
             clf.train(
@@ -229,9 +236,14 @@ class TemporalHarness:
         )
         self.host_state.save_state_checkpoint()
 
+        # Metric sets are rebuilt per eval WITH the current buffer snapshot —
+        # ItemCoverage seeds its clicked-items set from it, and a stale
+        # construction-time buffer would overstate baseline coverage (the
+        # reference rebuilds the hook's metrics each Estimator call).
+        self._refresh_state_view()
         streaming = self._new_metric_set()
         for clf in self.bench_classifiers:
-            clf.reset_eval_metrics()
+            clf.streaming_metrics = self._new_metric_set()
 
         hit_sum = rr_sum = label_count = 0.0
         sessions_count = clicks_count = 0
@@ -266,8 +278,6 @@ class TemporalHarness:
                 recommender="chameleon",
             )
             self._log_eval_batch(np_batch, labels, neg_items, preds, probs, pop_norm)
-            if self.eval_cold_start:
-                self._update_cold_start(np_batch, labels, neg_items, preds)
 
             for clf in self.bench_classifiers:
                 clf.evaluate(
@@ -277,6 +287,12 @@ class TemporalHarness:
                     topk=self.cfg.metrics_top_n,
                     eval_negative_items=neg_items,
                 )
+            # Cold-start bookkeeping runs AFTER this batch's first-click
+            # registration (reference order, nar_model.py:1481-1494: items
+            # clicked AND recommended in the same batch count with elapsed 0).
+            if self.eval_cold_start:
+                self._register_batch_clicks(np_batch)
+                self._update_cold_start(np_batch, labels, neg_items, preds)
             self._train_host_side(np_batch)
 
         row: Dict[str, float] = {
@@ -316,6 +332,8 @@ class TemporalHarness:
             for sid, sess_labels, sess_negs in zip(
                 np_batch["session_id"], labels, neg_items
             ):
+                if sid == 0:  # padded batch row, not a session
+                    continue
                 neg_log.append(
                     {
                         "session_id": str(sid),
@@ -332,6 +350,8 @@ class TemporalHarness:
             for sid, sess_labels, sess_preds, sess_probs in zip(
                 np_batch["session_id"], labels, preds, probs_rounded
             ):
+                if sid == 0:  # padded batch row, not a session
+                    continue
                 pred_pops = pop_norm[sess_preds].round(decimals=7)
                 mask = sess_labels != 0
                 rec_log.append(
@@ -382,13 +402,23 @@ class TemporalHarness:
             example = next(iter(self._batches(first_sessions)))
             self.init_from_batch(example)
 
+        # Resume support: skip hours already trained before this call (the
+        # checkpoint persists hours_trained — unlike the reference, which
+        # always restarts at train_files_from and silently re-trains).
+        # Evals are skipped for chunks fully covered by the restored cursor;
+        # a checkpoint taken between a chunk's train and its eval loses that
+        # one eval row.
+        initial_done = self.hours_trained
+
         for start in range(0, len(hours), chunk):
             train_hours = hours[start : start + chunk]
-            for h in train_hours:
+            for offset, h in enumerate(train_hours):
+                if start + offset < initial_done:
+                    continue
                 stats = self.train_hour(hour_source(h))
                 log.info("hour %d trained: %s", h, stats)
             eval_idx = start + chunk
-            if eval_idx < len(hours):
+            if eval_idx < len(hours) and eval_idx > initial_done:
                 self.evaluate_hour(hour_source(hours[eval_idx]))
             self._maybe_export()
         return self.artifacts.eval_sessions_metrics_log
@@ -430,6 +460,7 @@ class TemporalHarness:
             "host_cooccurrence": self.host_state.items_coocurrences,
             "host_first_click_step": self.host_state.items_first_click_step,
             "host_current_step": self.host_state.current_step,
+            "host_benchmarks_states": self.host_state.benchmarks_states,
         }
         serialize(path, payload)
         return path
@@ -445,4 +476,5 @@ class TemporalHarness:
         self.host_state.items_coocurrences = payload["host_cooccurrence"]
         self.host_state.items_first_click_step = payload["host_first_click_step"]
         self.host_state.current_step = payload["host_current_step"]
+        self.host_state.benchmarks_states = payload.get("host_benchmarks_states", {})
         self._refresh_state_view()

@@ -106,3 +106,31 @@ def test_checkpoint_roundtrip(harness_setup, tmp_path):
     s1 = h1.train_hour(hour_source(1))
     s2 = h2.train_hour(hour_source(1))
     assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=1e-5)
+
+
+def test_resume_skips_trained_hours(harness_setup, tmp_path):
+    """run() after load_checkpoint continues from the hour cursor instead of
+    re-training from hour 0."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    h1 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    h1.run(hour_source, hours=range(3))  # trains h0,h1, evals h2, trains h2
+    assert h1.hours_trained == 3
+    ckpt = h1.save_checkpoint(tmp_path / "resume.pkl")
+    rows_before = len(h1.artifacts.eval_sessions_metrics_log)
+
+    h2 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    h2.load_checkpoint(ckpt)
+    called = []
+
+    original = h2.train_hour
+
+    def spy(sessions):
+        called.append(1)
+        return original(sessions)
+
+    h2.train_hour = spy
+    h2.run(hour_source, hours=range(5))  # only hours 3,4 should train
+    assert len(called) == 2, called
+    assert h2.hours_trained == 5
+    # no duplicated eval rows for already-evaluated chunks
+    assert len(h2.artifacts.eval_sessions_metrics_log) >= rows_before
