@@ -465,6 +465,64 @@ class TemporalHarness:
         serialize(path, payload)
         return path
 
+    # -- orbax backend: production-grade atomic checkpointing of the device
+    # state (async-capable, multi-host-aware), host structures in a pickle
+    # sidecar (scipy csr / dicts are not array pytrees)
+    def save_checkpoint_orbax(self, dir_path=None):
+        import orbax.checkpoint as ocp
+
+        dir_path = Path(
+            dir_path or Path(self.run_cfg.model_dir) / "orbax_ckpt"
+        ).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        device_dir = dir_path / "device_state"
+        if device_dir.exists():
+            import shutil
+
+            shutil.rmtree(device_dir)
+        ckptr.save(device_dir, self.state)
+        ckptr.wait_until_finished()
+        serialize(
+            dir_path / "host_state.pkl",
+            {
+                "hours_trained": self.hours_trained,
+                "metrics_log": self.artifacts.eval_sessions_metrics_log,
+                "host_cooccurrence": self.host_state.items_coocurrences,
+                "host_first_click_step": self.host_state.items_first_click_step,
+                "host_current_step": self.host_state.current_step,
+                "host_benchmarks_states": self.host_state.benchmarks_states,
+            },
+        )
+        return dir_path
+
+    def load_checkpoint_orbax(self, dir_path):
+        """Requires an initialized harness (the abstract state template comes
+        from the live pytree)."""
+        import orbax.checkpoint as ocp
+
+        from ..utils.io import deserialize
+
+        assert self.state is not None, (
+            "initialize the harness (init_from_batch / run one batch) before "
+            "restoring an orbax checkpoint"
+        )
+        dir_path = Path(dir_path).absolute()
+        ckptr = ocp.StandardCheckpointer()
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
+        )
+        self.state = ckptr.restore(dir_path / "device_state", abstract)
+        payload = deserialize(dir_path / "host_state.pkl")
+        self.hours_trained = payload["hours_trained"]
+        self.artifacts.eval_sessions_metrics_log = payload["metrics_log"]
+        self.host_state.items_coocurrences = payload["host_cooccurrence"]
+        self.host_state.items_first_click_step = payload["host_first_click_step"]
+        self.host_state.current_step = payload["host_current_step"]
+        self.host_state.benchmarks_states = payload.get(
+            "host_benchmarks_states", {}
+        )
+        self._refresh_state_view()
+
     def load_checkpoint(self, path=None):
         from ..utils.io import deserialize
 

@@ -134,3 +134,22 @@ def test_resume_skips_trained_hours(harness_setup, tmp_path):
     assert h2.hours_trained == 5
     # no duplicated eval rows for already-evaluated chunks
     assert len(h2.artifacts.eval_sessions_metrics_log) >= rows_before
+
+
+def test_orbax_checkpoint_roundtrip(harness_setup, tmp_path):
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    h1 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    h1.train_hour(hour_source(0))
+    ckpt_dir = h1.save_checkpoint_orbax(tmp_path / "orbax")
+
+    h2 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    h2.train_hour(hour_source(1))  # initialize with DIFFERENT state
+    h2.load_checkpoint_orbax(ckpt_dir)
+    assert h2.hours_trained == 1
+    np.testing.assert_array_equal(
+        np.asarray(h2.state.stream.buffer_ids),
+        np.asarray(h1.state.stream.buffer_ids),
+    )
+    s1 = h1.train_hour(hour_source(2))
+    s2 = h2.train_hour(hour_source(2))
+    assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=1e-5)
