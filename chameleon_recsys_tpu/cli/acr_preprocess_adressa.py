@@ -96,10 +96,12 @@ def main(argv=None):
         max_words=args.max_words_length,
     )
 
-    id_encoder, article_ids = build_thresholded_encoder(
-        [r.get("id") for r in rows], min_freq=1
-    )
-    # contiguous ids from 1 (the ACE-matrix invariant)
+    # article ids are contiguous from 1 with <PAD>=0 and NO <UNF> slot — the
+    # encoder must match the TFRecord ids / ACE rows exactly (an <UNF> slot
+    # would shift every lookup off by one)
+    id_encoder = {PAD_TOKEN: 0}
+    for r in rows:
+        id_encoder[r.get("id")] = len(id_encoder)
     article_ids = np.arange(1, len(rows) + 1)
 
     encoders = {"article_id": id_encoder}

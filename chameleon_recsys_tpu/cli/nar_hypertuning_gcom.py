@@ -60,13 +60,31 @@ def main(argv=None):
         args.content_embedding_scale_factor,
     )
     num_items = ace.shape[0]
-    article_schema = gcom_article_schema(num_items=num_items)
-    session_schema = gcom_session_schema(num_items=num_items)
+    from ..config import (
+        filter_article_schema,
+        filter_session_schema,
+    )
+    from .nar_trainer_gcom import parse_internal_features
 
+    article_schema = filter_article_schema(
+        gcom_article_schema(num_items=num_items),
+        args.enabled_articles_input_features_groups,
+    )
+    session_schema = filter_session_schema(
+        gcom_session_schema(num_items=num_items),
+        args.enabled_clicks_input_features_groups,
+    )
+
+    # Every CLI flag the parser accepts must reach the base config —
+    # silently ignored flags would mislabel sweep results.
     base_cfg = NARConfig(
         batch_size=args.batch_size,
         max_session_length=args.truncate_session_length,
         learning_rate=args.learning_rate,
+        keep_prob=args.dropout_keep_prob,
+        reg_weight_decay=args.reg_l2_rate,
+        softmax_temperature=args.softmax_temperature,
+        novelty_reg_factor=args.novelty_reg_factor,
         rnn_units=args.rnn_units,
         rnn_num_layers=args.rnn_num_layers,
         car_embedding_size=args.CAR_embedding_size,
@@ -74,9 +92,12 @@ def main(argv=None):
         negative_sample_from_buffer=args.train_negative_samples_from_buffer,
         eval_negative_samples=args.eval_total_negative_samples,
         eval_negative_sample_from_buffer=args.eval_negative_samples_from_buffer,
+        recent_clicks_buffer_hours=args.recent_clicks_buffer_hours,
         recent_clicks_buffer_max_size=args.recent_clicks_buffer_max_size,
         recent_clicks_for_normalization=args.recent_clicks_for_normalization,
         metrics_top_n=args.eval_metrics_top_n,
+        eval_negative_sample_relevance=args.eval_negative_sample_relevance,
+        internal_features=parse_internal_features(args.enabled_internal_features),
         compute_dtype=args.compute_dtype,
     )
     run_cfg = RunConfig(

@@ -34,7 +34,10 @@ from ..data.preprocessing.time_features import cycled_feature, local_time_featur
 from ..utils.io import serialize
 from ..data.sessions import write_sessions_tfrecord
 
-# Hardcoded standardization stats (reference nar_preprocess_adressa.py:93-107)
+# Hardcoded standardization stats (reference nar_preprocess_adressa.py:93-107).
+# _elapsed_ms_since_last_click / active_time_secs_by_word are kept for the
+# reference's optional features (disabled there too, nar_trainer_adressa
+# comments) so enabling them later reuses the same constants.
 NUMERIC_SCALERS = {
     "_elapsed_ms_since_last_click": {
         "valid_max": 60 * 60 * 1000.0, "avg": 789935.7, "stddev": 1371436.0,
@@ -150,19 +153,21 @@ def main(argv=None):
                 ("referrer_class", "referrerClass"),
             ):
                 ctx[key].append(int(rec.get(src, 0)))
-            hs, hc, _ = local_time_features(click.timestamp_ms, args.timezone)
-            import datetime, zoneinfo
-
-            dt = datetime.datetime.fromtimestamp(
-                click.timestamp_ms / 1000.0,
-                tz=zoneinfo.ZoneInfo(args.timezone),
+            hs, hc, wd_scaled = local_time_features(
+                click.timestamp_ms, args.timezone
             )
             ctx["local_hour_sin"].append(hs)
             ctx["local_hour_cos"].append(hc)
-            # Adressa centers weekday: (wd+1-3.5)/7 (nar_preprocess_adressa)
-            ctx["weekday"].append((dt.weekday() + 1 - 3.5) / 7.0)
+            # Adressa centers weekday: (wd+1-3.5)/7 = (wd+1)/7 − 0.5
+            ctx["weekday"].append(wd_scaled - 0.5)
+            # missing dwell time falls back to the scaler AVERAGE (→ 0 after
+            # standardization), like the reference (nar_preprocess_adressa.py:
+            # 144-146) — a 0-second default would read as "extremely short"
+            active = rec.get("activeTime")
+            if active is None:
+                active = NUMERIC_SCALERS["active_time_secs"]["avg"]
             ctx["active_time_secs"].append(
-                standardize("active_time_secs", rec.get("activeTime", 0) or 0)
+                standardize("active_time_secs", active)
             )
         by_hour[raw.session_hour].append(
             Session(

@@ -53,6 +53,9 @@ def main(argv=None):
     p.add_argument("--recent_clicks_buffer_max_size", type=int, default=20000)
     p.add_argument("--recent_clicks_for_normalization", type=int, default=2000)
     p.add_argument("--content_embedding_scale_factor", type=float, default=6.0)
+    p.add_argument("--eval_negative_sample_relevance", type=float, default=0.1,
+                   help="relevance weight of negative samples in ESI-RR/"
+                        "EILD-RR (reference Adressa config: 0.1)")
     p.add_argument("--enabled_internal_features", default="ALL")
     p.add_argument("--enabled_clicks_input_features_groups", default="ALL",
                    help="comma list of time,device,location,referrer,"
@@ -132,6 +135,7 @@ def main(argv=None):
         batch_size=args.batch_size,
         max_session_length=args.truncate_session_length,
         metrics_top_n=args.eval_metrics_top_n,
+        eval_negative_sample_relevance=args.eval_negative_sample_relevance,
         internal_features=parse_internal_features(args.enabled_internal_features),
         compute_dtype=args.compute_dtype,
     )

@@ -199,12 +199,14 @@ class NARModel(nn.Module):
         self,
         batch: Dict[str, jax.Array],
         aux: NARAux,
-        neg_items: jax.Array,  # [B, T, K]
+        neg_items: jax.Array,  # [B, T, K] (or [B, 1, K] w/ candidate_positions)
         *,
         train: bool,
         rank: bool = False,
         neg_pool: Optional[jax.Array] = None,  # [NC+1] shared candidate pool
         neg_pool_idx: Optional[jax.Array] = None,  # [B, T, K] into neg_pool
+        candidate_positions: Optional[jax.Array] = None,  # [B] serve: score
+        # candidates at ONE position per session instead of every timestep
     ) -> NAROutputs:
         cfg = self.cfg
         dtype = self._dtype()
@@ -289,6 +291,19 @@ class NARModel(nn.Module):
         input_car = car_tower(input_feats)  # [B, T, C]
         pos_car = car_tower(pos_feats)  # [B, T, C]
 
+        # Serving fast path: score candidates at ONE position per session
+        # (the next-click prediction point) instead of broadcasting the same
+        # candidate set across every timestep and discarding T−1 of the work.
+        if candidate_positions is not None:
+            pos_idx = candidate_positions.astype(jnp.int32)[:, None]  # [B,1]
+            ctx_for_neg = jnp.take_along_axis(
+                user_ctx, pos_idx[..., None], axis=1
+            )  # [B, 1, F_u]
+            t_neg = 1
+        else:
+            ctx_for_neg = user_ctx
+            t_neg = t
+
         pooled = neg_pool is not None and (not train or cfg.keep_prob >= 1.0)
         if pooled:
             # Pooled scoring: every negative comes from the shared candidate
@@ -300,7 +315,7 @@ class NARModel(nn.Module):
             pool_feats = item_features(neg_pool, max_event_ts)  # [NC+1, F_i]
             gamma = _sc_params["gamma"].astype(dtype)
             beta = _sc_params["beta"].astype(dtype)
-            u_pre = (user_ctx * gamma[:user_dim]) @ pre_kernel[:user_dim]
+            u_pre = (ctx_for_neg * gamma[:user_dim]) @ pre_kernel[:user_dim]
             i_pre = (pool_feats * gamma[user_dim:]) @ pre_kernel[user_dim:]
             const = beta @ pre_kernel + pre_bias
             # pool_gather's VJP turns the gradient scatter into an MXU
@@ -310,22 +325,23 @@ class NARModel(nn.Module):
             # 1000 sampled slots rather than the [B,T,K] per-click multiset
             # the dense path sees — both popularity-weighted, slightly
             # different weighting for that one cold-start step.
-            i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T, K, C]
+            i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T_neg, K, C]
             pre_neg = nn.leaky_relu(
                 u_pre[:, :, None, :] + i_rows + const,
                 negative_slope=_LEAKY_ALPHA,
             )
-            neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)  # [B, T, K, C]
+            neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)
         else:
             neg_item_feats = item_features(neg_items, max_event_ts)
             user_ctx_tiled = jnp.broadcast_to(
-                user_ctx[:, :, None, :], (b, t, k, user_ctx.shape[-1])
+                ctx_for_neg[:, :, None, :],
+                (b, t_neg, k, ctx_for_neg.shape[-1]),
             )
             neg_feats = scale_center(
                 jnp.concatenate([user_ctx_tiled, neg_item_feats], -1)
             )
             neg_feats = dropout(neg_feats, deterministic=not train)
-            neg_car = car_tower(neg_feats)  # [B, T, K, C]
+            neg_car = car_tower(neg_feats)  # [B, T_neg, K, C]
 
         # ---- session encoder (nar_model.py:407-438) ----
         rnn_out = StackedUGRNN(
@@ -362,20 +378,38 @@ class NARModel(nn.Module):
                 x = nn.leaky_relu(layer(x), negative_slope=_LEAKY_ALPHA)
             return matching_out(x)[..., 0]
 
-        pos_score = match_score(pos_car * predicted_emb)  # [B, T]
-        neg_score = match_score(neg_car * predicted_emb[:, :, None, :])  # [B, T, K]
+        if candidate_positions is not None:
+            pred_for_neg = jnp.take_along_axis(
+                predicted_emb, pos_idx[..., None], axis=1
+            )  # [B, 1, C]
+            pos_for_neg = jnp.take_along_axis(
+                pos_car, pos_idx[..., None], axis=1
+            )
+        else:
+            pred_for_neg = predicted_emb
+            pos_for_neg = pos_car
+
+        pos_score = match_score(pos_for_neg * pred_for_neg)  # [B, T_neg]
+        neg_score = match_score(
+            neg_car * pred_for_neg[:, :, None, :]
+        )  # [B, T_neg, K]
 
         scores = jnp.concatenate([pos_score[..., None], neg_score], axis=-1)
         scores = scores.astype(jnp.float32) / cfg.softmax_temperature
-        items_prob = jax.nn.softmax(scores, axis=-1)  # [B, T, 1+K]
+        items_prob = jax.nn.softmax(scores, axis=-1)  # [B, T_neg, 1+K]
 
         # ---- masked XE loss (nar_model.py:639-667) ----
         positive_prob = items_prob[..., 0]
         denom = jnp.maximum(jnp.sum(loss_mask), 1.0)
-        ce_loss = -jnp.sum(jnp.log(positive_prob + 1e-24) * loss_mask) / denom
+        if candidate_positions is None:
+            ce_loss = (
+                -jnp.sum(jnp.log(positive_prob + 1e-24) * loss_mask) / denom
+            )
+        else:  # serving: no labels, no loss
+            ce_loss = jnp.zeros(())
 
         # ---- optional novelty regularization (nar_model.py:673-683) ----
-        if cfg.novelty_reg_factor > 0.0:
+        if cfg.novelty_reg_factor > 0.0 and candidate_positions is None:
             neg_prob = jax.nn.softmax(
                 neg_score.astype(jnp.float32) / cfg.softmax_temperature, axis=-1
             )
@@ -388,8 +422,13 @@ class NARModel(nn.Module):
         else:
             nov_reg_loss = jnp.zeros(())
 
+        label_for_cand = (
+            jnp.take_along_axis(next_item_label, pos_idx, axis=1)
+            if candidate_positions is not None
+            else next_item_label
+        )
         candidate_ids = jnp.concatenate(
-            [next_item_label[..., None], neg_items], axis=-1
+            [label_for_cand[..., None], neg_items], axis=-1
         )
 
         predicted_ids = predicted_probs = None

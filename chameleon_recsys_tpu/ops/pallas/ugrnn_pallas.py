@@ -38,6 +38,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# batch rows per grid program: bounds resident VMEM (~10 MB in the backward
+# at u_pad=256, T=19) regardless of the batch size
+_B_TILE = 64
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -45,8 +50,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(x_ref, w_ref, mask_ref, out_ref, h_scratch, *, t_steps,
                 forget_bias):
-    """Time-major layout: x_ref [T, B, 2U], mask_ref [T, B], out_ref [T, B, U]
-    — dynamic step indexing stays on the leading (untiled) axis."""
+    """Time-major layout: x_ref [T, B_tile, 2U] (batch-tiled), mask_ref
+    [T, B_tile, 1] (batch on the sublane dim), out_ref [T, B_tile, U]."""
     units = h_scratch.shape[-1]
     h_scratch[:] = jnp.zeros_like(h_scratch)
 
@@ -58,7 +63,7 @@ def _fwd_kernel(x_ref, w_ref, mask_ref, out_ref, h_scratch, *, t_steps,
         g = jax.nn.sigmoid(acts[:, :units] + forget_bias)
         c = jnp.tanh(acts[:, units:])
         h_new = g * h + (1.0 - g) * c
-        m = mask_ref[t][:, None]
+        m = mask_ref[t]  # [B_tile, 1]
         h_next = jnp.where(m > 0, h_new, h)
         h_scratch[:] = h_next
         out_ref[t] = h_next
@@ -77,7 +82,10 @@ def _bwd_kernel(x_ref, w_ref, mask_ref, hs_ref, g_out_ref, dx_ref, dw_ref,
     """Time-major BPTT; all per-step tensors index the leading axis."""
     units = dh_scratch.shape[-1]
     dh_scratch[:] = jnp.zeros_like(dh_scratch)
-    dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_dw():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
 
     def step(i, _):
         t = t_steps - 1 - i
@@ -93,7 +101,7 @@ def _bwd_kernel(x_ref, w_ref, mask_ref, hs_ref, g_out_ref, dx_ref, dw_ref,
         c = jnp.tanh(acts[:, units:])
 
         dh = dh_scratch[:] + g_out_ref[t]
-        m = (mask_ref[t][:, None] > 0).astype(dh.dtype)
+        m = (mask_ref[t] > 0).astype(dh.dtype)  # [B_tile, 1]
         dh_m = dh * m
 
         dg = dh_m * (h_prev - c)
@@ -124,7 +132,7 @@ def _pad_args(x_proj, w_hh, mask):
     b, t, two_u = x_proj.shape
     units = two_u // 2
     u_pad = _round_up(units, 128)
-    b_pad = _round_up(b, 8)
+    b_pad = _round_up(b, _B_TILE)
     xg = x_proj[..., :units]
     xc = x_proj[..., units:]
     xg = jnp.pad(xg, ((0, b_pad - b), (0, 0), (0, u_pad - units)))
@@ -137,9 +145,13 @@ def _pad_args(x_proj, w_hh, mask):
     w_pad = w_pad.at[:units, u_pad:u_pad + units].set(
         w_hh[:, units:].astype(jnp.float32)
     )
+    # [T, B_pad, 1]: the trailing singleton keeps batch on the SUBLANE dim so
+    # the mask batch-tiles like every other operand — a 2-D [T, B] layout
+    # would put batch on the lane dim, where 64-wide blocks and 64-aligned
+    # dynamic slices both violate Mosaic's 128-lane rule
     mask_pad = jnp.swapaxes(
         jnp.pad(mask.astype(jnp.float32), ((0, b_pad - b), (0, 0))), 0, 1
-    )  # [T, B_pad]
+    )[..., None]
     return x_pad, w_pad, mask_pad, units, u_pad, b, b_pad, t
 
 
@@ -154,16 +166,22 @@ def _fwd_impl(x_proj, w_hh, mask, forget_bias, interpret):
     x_pad, w_pad, mask_pad, units, u_pad, b, b_pad, t = _pad_args(
         x_proj, w_hh, mask
     )
+    n_tiles = b_pad // _B_TILE
     out_pad = pl.pallas_call(
         functools.partial(_fwd_kernel, t_steps=t, forget_bias=forget_bias),
+        grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((t, b_pad, u_pad), jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, 2 * u_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u_pad, 2 * u_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((b_pad, u_pad), jnp.float32)],
+        out_specs=pl.BlockSpec((t, _B_TILE, u_pad), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((_B_TILE, u_pad), jnp.float32)],
         interpret=interpret,
     )(x_pad, w_pad, mask_pad)
     hs = jnp.swapaxes(out_pad[:, :b, :units], 0, 1).astype(x_proj.dtype)
@@ -187,24 +205,35 @@ def _bwd_vjp(forget_bias, interpret, residuals, g_out):
     g_pad = g_pad.at[:, :b, :units].set(
         jnp.swapaxes(g_out.astype(jnp.float32), 0, 1)
     )
+    n_tiles = b_pad // _B_TILE
     dx_pad, dw_pad = pl.pallas_call(
         functools.partial(_bwd_kernel, t_steps=t, forget_bias=forget_bias),
+        grid=(n_tiles,),
         out_shape=(
             jax.ShapeDtypeStruct((t, b_pad, 2 * u_pad), jnp.float32),
             jax.ShapeDtypeStruct((u_pad, 2 * u_pad), jnp.float32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, 2 * u_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((u_pad, 2 * u_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, u_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, u_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _B_TILE, 2 * u_pad), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            # dW: every program maps to the SAME block — the TPU grid runs
+            # sequentially, so the block persists and accumulates
+            pl.BlockSpec((u_pad, 2 * u_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((b_pad, u_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((_B_TILE, u_pad), jnp.float32)],
         interpret=interpret,
     )(x_pad, w_pad, mask_pad, hs_pad, g_pad)
 

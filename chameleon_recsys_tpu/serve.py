@@ -60,20 +60,18 @@ class NARServer:
                 recent_pop_norm=stream.recent_pop_norm,
                 buffer_ids=stream.buffer_ids,
             )
-            b, t = batch["item_clicked"].shape
-            c = candidates.shape[1]
-            neg = jnp.broadcast_to(candidates[:, None, :], (b, t, c))
-            out = self.model.apply(
-                {"params": params}, batch, aux, neg, train=False
-            )
-            # candidate probabilities at each session's LAST valid position
-            # (the model at position t predicts click t+1)
+            # the model at position t predicts click t+1 → score candidates
+            # ONLY at each session's last valid position (candidate_positions
+            # fast path: T× less candidate-tower work than broadcasting)
             last_pos = jnp.maximum(
                 batch["session_size"].astype(jnp.int32) - 2, 0
             )
-            cand_probs = jnp.take_along_axis(
-                out.items_prob[..., 1:], last_pos[:, None, None], axis=1
-            )[:, 0, :]  # [B, C]
+            neg = candidates[:, None, :]  # [B, 1, C]
+            out = self.model.apply(
+                {"params": params}, batch, aux, neg, train=False,
+                candidate_positions=last_pos,
+            )
+            cand_probs = out.items_prob[:, 0, 1:]  # [B, C]
             cand_probs = jnp.where(candidates != 0, cand_probs, -jnp.inf)
             top_scores, top_idx = jax.lax.top_k(cand_probs, top_k)
             top_ids = jnp.take_along_axis(candidates, top_idx, axis=1)
@@ -165,6 +163,9 @@ class NARServer:
 
         Returns (ids [B, top_k], scores [B, top_k]); score ordering follows
         the model's softmax over the candidate set."""
+        if len(sessions) == 0:
+            return (np.zeros((0, top_k), np.int32),
+                    np.zeros((0, top_k), np.float32))
         if candidates is None:
             pool = self.default_candidates(num_candidates)
             candidates = np.broadcast_to(
@@ -179,6 +180,8 @@ class NARServer:
     def observe(self, sessions: Sequence[Session]):
         """Fold served sessions' clicks into the streaming state so
         popularity/recency features track the live stream."""
+        if not sessions:
+            return
         max_len = max(len(s.item_ids) for s in sessions)
         b = len(sessions)
         ids = np.zeros((b, max_len), np.int32)

@@ -35,8 +35,9 @@ def save_eval_benchmark_metrics_csv(
         return
     rows = []
     for i, metrics in enumerate(eval_sessions_metrics_log):
-        hour = (i + 1) * training_hours_for_each_eval
-        row = {"eval_hour": hour, "eval_day": hour // 24}
+        cumulative = (i + 1) * training_hours_for_each_eval
+        # reference columns: hour-of-day (%24) and day index (nar_utils.py:31-40)
+        row = {"eval_hour": cumulative % 24, "eval_day": cumulative // 24}
         row.update(metrics)
         rows.append(row)
     fieldnames: List[str] = []
