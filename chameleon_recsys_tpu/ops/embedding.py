@@ -26,10 +26,15 @@ def _pool_gather_fwd(table, idx):
 
 def _pool_gather_bwd(res, g):
     table, idx = res
-    flat_idx = idx.reshape(-1)
-    g_flat = g.reshape(-1, g.shape[-1])
-    onehot = jax.nn.one_hot(flat_idx, table.shape[0], dtype=g_flat.dtype)
-    d_table = (onehot.T @ g_flat).astype(table.dtype)
+    # contract ALL leading dims of (one_hot(idx), g) in one dot_general —
+    # an explicit reshape(-1, C) here forces a [N, C]{1,0} relayout of the
+    # [B, T, K, C] cotangent (~3 ms/step of pure copies at G1 scale); the
+    # multi-dim contraction lets XLA keep the incoming tiled layout
+    onehot = jax.nn.one_hot(idx, table.shape[0], dtype=g.dtype)
+    lead = tuple(range(g.ndim - 1))
+    d_table = jax.lax.dot_general(
+        onehot, g, dimension_numbers=((lead, lead), ((), ()))
+    ).astype(table.dtype)
     return d_table, None
 
 
