@@ -89,9 +89,12 @@ def main():
         metrics_top_n=10,
         keep_prob=1.0,
         compute_dtype="bfloat16",
-        # the fused Pallas RNN (cfg.use_pallas_rnn) is throughput-neutral at
-        # this config (RNN is a small slice of the step) and adds compile
-        # time, so the bench uses the lax.scan path
+        # fused Pallas candidate scorer: PreCAR+CAR+matching MLP in one
+        # kernel, nothing [B,T,K,C]-shaped reaches HBM (+6% end-to-end,
+        # ops/pallas/cand_scorer.py). The fused Pallas RNN
+        # (cfg.use_pallas_rnn) stays off: throughput-neutral at this config
+        # (the RNN is a small slice of the step) and adds compile time.
+        use_pallas_scorer=True,
     )
 
     corpus = make_synthetic_corpus(article_schema, ace_dim=250)

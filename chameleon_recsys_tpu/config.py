@@ -161,6 +161,9 @@ class NARConfig:
 
     # kernels: route the session RNN through the fused Pallas scan
     use_pallas_rnn: bool = False
+    # fused Pallas candidate scorer (PreCAR+CAR+matching MLP in one kernel;
+    # pooled path only, exactly 3 matching layers, B*T divisible by 8)
+    use_pallas_scorer: bool = False
     # negative sampling: TPU approx_max_k instead of a full sort for the
     # per-click random-key selection (still a valid random draw; faster)
     approx_negative_topk: bool = False

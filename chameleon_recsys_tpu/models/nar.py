@@ -34,6 +34,8 @@ from ..config import (
     embedding_dim_for_cardinality,
 )
 from ..ops.embedding import pool_gather
+from ..ops.pallas.cand_scorer import _BT_TILE as _SCORER_BT_TILE
+from ..ops.pallas.cand_scorer import cand_score_pallas
 from ..ops.normalization import log1p_base, log_base, normalize_values
 from ..ops.rnn import StackedUGRNN
 from .towers import FeatureTowers
@@ -325,13 +327,22 @@ class NARModel(nn.Module):
             # 1000 sampled slots rather than the [B,T,K] per-click multiset
             # the dense path sees — both popularity-weighted, slightly
             # different weighting for that one cold-start step.
-            i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T_neg, K, C]
-            pre_neg = nn.leaky_relu(
-                u_pre[:, :, None, :] + i_rows + const,
-                negative_slope=_LEAKY_ALPHA,
+            fused_scorer = (
+                cfg.use_pallas_scorer
+                and len(cfg.matching_layer_sizes) == 3
+                and (b * t_neg) % _SCORER_BT_TILE == 0
             )
-            neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)
+            if fused_scorer:
+                neg_car = None  # scored after predicted_emb, in one kernel
+            else:
+                i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T_neg, K, C]
+                pre_neg = nn.leaky_relu(
+                    u_pre[:, :, None, :] + i_rows + const,
+                    negative_slope=_LEAKY_ALPHA,
+                )
+                neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)
         else:
+            fused_scorer = False
             neg_item_feats = item_features(neg_items, max_event_ts)
             user_ctx_tiled = jnp.broadcast_to(
                 ctx_for_neg[:, :, None, :],
@@ -365,18 +376,30 @@ class NARModel(nn.Module):
         predicted_emb = jnp.tanh(fc2(h))  # [B, T, C]
 
         # ---- matching MLP over elementwise products (nar_model.py:444-505) ----
-        matching = [
-            nn.Dense(u, kernel_init=_he_init, dtype=dtype, name=f"matching_{i+1}")
-            for i, u in enumerate(cfg.matching_layer_sizes)
-        ]
-        matching_out = nn.Dense(
-            1, kernel_init=_lecun_uniform, dtype=dtype, name="matching_out"
-        )
+        # Explicit kernels (not nn.Dense) so the fused Pallas scorer below can
+        # consume the same weight arrays as the positive-score closure.
+        m_kernels, m_biases = [], []
+        m_in = c
+        for i, u in enumerate(cfg.matching_layer_sizes):
+            m_kernels.append(self.param(
+                f"matching_{i+1}_kernel", _he_init, (m_in, u), jnp.float32
+            ).astype(dtype))
+            m_biases.append(self.param(
+                f"matching_{i+1}_bias", nn.initializers.zeros, (u,), jnp.float32
+            ).astype(dtype))
+            m_in = u
+        mo_kernel = self.param(
+            "matching_out_kernel", _lecun_uniform, (m_in, 1), jnp.float32
+        ).astype(dtype)
+        mo_bias = self.param(
+            "matching_out_bias", nn.initializers.zeros, (1,), jnp.float32
+        ).astype(dtype)
 
         def match_score(x):
-            for layer in matching:
-                x = nn.leaky_relu(layer(x), negative_slope=_LEAKY_ALPHA)
-            return matching_out(x)[..., 0]
+            for kern, bias in zip(m_kernels, m_biases):
+                x = nn.leaky_relu(x @ kern + bias,
+                                  negative_slope=_LEAKY_ALPHA)
+            return (x @ mo_kernel + mo_bias)[..., 0]
 
         if candidate_positions is not None:
             pred_for_neg = jnp.take_along_axis(
@@ -390,9 +413,29 @@ class NARModel(nn.Module):
             pos_for_neg = pos_car
 
         pos_score = match_score(pos_for_neg * pred_for_neg)  # [B, T_neg]
-        neg_score = match_score(
-            neg_car * pred_for_neg[:, :, None, :]
-        )  # [B, T_neg, K]
+        if fused_scorer:
+            # One Pallas program for gatherd-row PreCAR + CAR + matching MLP:
+            # nothing [B, T_neg, K, C]-shaped ever reaches HBM
+            # (ops/pallas/cand_scorer.py).
+            i_rows_flat = pool_gather(
+                i_pre, neg_pool_idx.reshape(-1)
+            )  # [B*T_neg*K, C]
+            neg_score = cand_score_pallas(
+                i_rows_flat,
+                (u_pre + const).reshape(b * t_neg, c),
+                pred_for_neg.reshape(b * t_neg, c),
+                car_kernel, car_bias,
+                m_kernels[0], m_biases[0],
+                m_kernels[1], m_biases[1],
+                m_kernels[2], m_biases[2],
+                mo_kernel[:, 0],
+                _LEAKY_ALPHA,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            ).reshape(b, t_neg, k) + mo_bias[0].astype(jnp.float32)
+        else:
+            neg_score = match_score(
+                neg_car * pred_for_neg[:, :, None, :]
+            )  # [B, T_neg, K]
 
         scores = jnp.concatenate([pos_score[..., None], neg_score], axis=-1)
         scores = scores.astype(jnp.float32) / cfg.softmax_temperature
@@ -466,7 +509,8 @@ def l2_regularization(params, weight_decay: float) -> jax.Array:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     for path, leaf in flat:
         keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        if any(k in _UNREGULARIZED_LEAVES for k in keys):
+        if any(k in _UNREGULARIZED_LEAVES or k.endswith("_bias")
+               for k in keys):
             continue
         if any(k in _UNREGULARIZED_MODULES for k in keys):
             continue

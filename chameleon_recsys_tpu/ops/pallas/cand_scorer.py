@@ -1,0 +1,336 @@
+"""Pallas TPU kernel: fused negative-candidate scoring chain.
+
+The pooled scoring path (models/nar.py, reference nar_model.py:374-505
+semantics) computes, for every (session, step, candidate):
+
+    pre  = leaky_relu(u_pre[b,t] + i_rows[b,t,k] + const)     # PreCAR
+    nc   = tanh(pre @ car_W + car_b)                          # CAR
+    prod = nc * pred[b,t]                                     # matching input
+    x    = leaky(prod@W1+b1); x = leaky(x@W2+b2); x = leaky(x@W3+b3)
+    s    = x @ w4 + b4                                        # [B,T,K] scores
+
+In XLA this chain materializes several [B,T,K,C] tensors in HBM
+(~0.5 GB each at the G1 config) plus tiled-layout copies around the
+pool-gather's flat [N,C] output (profiled: ~9 ms forward + ~13 ms backward
+of a 30 ms step, against an MXU roofline of ~3 + ~8 ms).
+
+This kernel consumes the gathered pool rows in their natural flat [N, C]
+layout and keeps every intermediate in VMEM: each grid program processes
+``_BT_TILE`` (session, step) pairs — ``_BT_TILE * K`` candidate rows — so
+the MXU sees well-shaped [400, C] matmuls and nothing but the [B*T, K]
+scores (forward) / the input cotangents + weight grads (backward) ever
+touch HBM.  The backward recomputes activations from the same inputs
+(BPTT-style rematerialization) and accumulates weight gradients across the
+sequential grid into shared output blocks.
+
+Semantics notes:
+  * leaky_relu slope must match the model's (TF default 0.2 — the
+    ``alpha`` argument; models/nar.py ``_LEAKY_ALPHA``).
+  * u_pre is expected to already include the constant term
+    (``beta @ pre_kernel + pre_bias``) — fold it outside.
+  * matmuls run in the input dtype (bf16 in the G1 config) with f32
+    accumulation, mirroring XLA's behaviour on the unfused path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# (session, step) pairs per grid program; rows per program = _BT_TILE * K
+_BT_TILE = 8
+
+
+def _leaky(x, alpha):
+    # compare in f32: Mosaic has no bf16 vector compare on this target
+    xf = x.astype(jnp.float32)
+    return jnp.where(xf > 0, xf, alpha * xf)
+
+
+def _dleaky(x, alpha):
+    return jnp.where(x.astype(jnp.float32) > 0, 1.0, alpha)
+
+
+def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, out_ref, *, k,
+                alpha):
+    bt = u_ref.shape[0]
+    c = u_ref.shape[1]
+    rows = bt * k
+    u_rep = jnp.broadcast_to(u_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
+    p_rep = jnp.broadcast_to(p_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
+
+    d = i_ref.dtype
+    pre = _leaky(i_ref[:] + u_rep, alpha).astype(d)
+    nc = jnp.tanh(
+        jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
+        + carb_ref[0]
+    ).astype(pre.dtype)
+    prod = nc * p_rep
+    x = _leaky(
+        jnp.dot(prod, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0], alpha,
+    ).astype(d)
+    x = _leaky(
+        jnp.dot(x, w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0], alpha,
+    ).astype(d)
+    x = _leaky(
+        jnp.dot(x, w3_ref[:], preferred_element_type=jnp.float32)
+        + b3_ref[0], alpha,
+    ).astype(d)
+    # final Dense(1): a lane reduce beats a [32,1] matmul
+    out_ref[:] = jnp.sum(
+        x.astype(jnp.float32) * w4_ref[0], axis=-1, keepdims=True
+    )
+
+
+def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, g_ref,
+                di_ref, du_ref, dp_ref, dcarw_ref, dcarb_ref,
+                dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+                dw4_ref, *, k, alpha):
+    bt = u_ref.shape[0]
+    c = u_ref.shape[1]
+    rows = bt * k
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dcarw_ref[:] = jnp.zeros_like(dcarw_ref)
+        dcarb_ref[:] = jnp.zeros_like(dcarb_ref)
+        dw1_ref[:] = jnp.zeros_like(dw1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2_ref[:] = jnp.zeros_like(dw2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+        dw3_ref[:] = jnp.zeros_like(dw3_ref)
+        db3_ref[:] = jnp.zeros_like(db3_ref)
+        dw4_ref[:] = jnp.zeros_like(dw4_ref)
+
+    u_rep = jnp.broadcast_to(u_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
+    p_rep = jnp.broadcast_to(p_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
+
+    # ---- recompute forward activations (kept in VMEM) ----
+    d = i_ref.dtype
+    a0 = i_ref[:] + u_rep
+    pre = _leaky(a0, alpha).astype(d)
+    ncp = (
+        jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
+        + carb_ref[0]
+    )
+    nc = jnp.tanh(ncp).astype(pre.dtype)
+    prod = nc * p_rep
+    a1 = (
+        jnp.dot(prod, w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0]
+    )
+    x1 = _leaky(a1, alpha).astype(d)
+    a2 = (
+        jnp.dot(x1, w2_ref[:], preferred_element_type=jnp.float32)
+        + b2_ref[0]
+    )
+    x2 = _leaky(a2, alpha).astype(d)
+    a3 = (
+        jnp.dot(x2, w3_ref[:], preferred_element_type=jnp.float32)
+        + b3_ref[0]
+    )
+    x3 = _leaky(a3, alpha).astype(d)
+
+    # ---- backward ----
+    ds = g_ref[:].astype(jnp.float32)  # [rows, 1]
+    dx3 = ds * w4_ref[0][None, :].astype(jnp.float32)
+    dw4_ref[0, :] += jnp.sum(x3.astype(jnp.float32) * ds, axis=0)
+
+    da3 = (dx3 * _dleaky(a3, alpha)).astype(d)
+    dw3_ref[:] += jnp.dot(x2.T, da3, preferred_element_type=jnp.float32)
+    db3_ref[0, :] += jnp.sum(da3.astype(jnp.float32), axis=0)
+    dx2 = jnp.dot(da3, w3_ref[:].T, preferred_element_type=jnp.float32)
+
+    da2 = (dx2 * _dleaky(a2, alpha)).astype(d)
+    dw2_ref[:] += jnp.dot(x1.T, da2, preferred_element_type=jnp.float32)
+    db2_ref[0, :] += jnp.sum(da2.astype(jnp.float32), axis=0)
+    dx1 = jnp.dot(da2, w2_ref[:].T, preferred_element_type=jnp.float32)
+
+    da1 = (dx1 * _dleaky(a1, alpha)).astype(d)
+    dw1_ref[:] += jnp.dot(prod.T, da1, preferred_element_type=jnp.float32)
+    db1_ref[0, :] += jnp.sum(da1.astype(jnp.float32), axis=0)
+    dprod = jnp.dot(da1, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dprod = dprod.astype(d)
+
+    dnc = dprod * p_rep
+    dp_rep = dprod * nc
+    dp_ref[:] = jnp.sum(
+        dp_rep.reshape(bt, k, c).astype(jnp.float32), axis=1
+    ).astype(dp_ref.dtype)
+
+    one = jnp.float32(1.0)
+    dncp = dnc.astype(jnp.float32) * (one - jnp.square(jnp.tanh(ncp)))
+    dncp_c = dncp.astype(d)
+    dcarw_ref[:] += jnp.dot(pre.T, dncp_c, preferred_element_type=jnp.float32)
+    dcarb_ref[0, :] += jnp.sum(dncp, axis=0)
+    dpre = jnp.dot(dncp_c, carw_ref[:].T, preferred_element_type=jnp.float32)
+
+    da0 = (dpre * _dleaky(a0, alpha)).astype(d)
+    di_ref[:] = da0
+    du_ref[:] = jnp.sum(
+        da0.reshape(bt, k, c).astype(jnp.float32), axis=1
+    ).astype(du_ref.dtype)
+
+
+def _specs(bt_total, k, c, m1, m2, m3):
+    row_block = _BT_TILE * k
+    return [
+        pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # i_rows
+        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # u_pre
+        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),          # pred
+        pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m1, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m2, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m3), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13))
+def cand_score_pallas(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2,
+                      w3, b3, w4, alpha=0.2, interpret=False):
+    """Fused candidate scores.
+
+    i_rows [BT*K, C] (flat gathered pool rows), u_pre [BT, C] (constant
+    folded in), pred [BT, C]; weights: car_w [C,C], car_b [C], w1 [C,M1],
+    b1 [M1], w2 [M1,M2], b2 [M2], w3 [M2,M3], b3 [M3], w4 [M3] (final
+    Dense(1) kernel; its bias cancels in the softmax and is omitted).
+    Returns scores [BT, K] float32.
+    """
+    out, _ = _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2,
+                       w3, b3, w4, alpha, interpret)
+    return out
+
+
+def _shapes(i_rows, u_pre, w1, w2, w3):
+    bt_total, c = u_pre.shape
+    k = i_rows.shape[0] // bt_total
+    return bt_total, k, c, w1.shape[1], w2.shape[1], w3.shape[1]
+
+
+def _row2(v):
+    return v[None, :]
+
+
+def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
+              w4, alpha, interpret):
+    bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
+    n_tiles = bt_total // _BT_TILE
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, alpha=alpha),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+        in_specs=_specs(bt_total, k, c, m1, m2, m3),
+        out_specs=pl.BlockSpec((_BT_TILE * k, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
+      w3, _row2(b3), _row2(w4))
+    out = out.reshape(bt_total, k)
+    return out, (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
+                 w4)
+
+
+def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
+             alpha, interpret):
+    return _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3,
+                     b3, w4, alpha, interpret)
+
+
+def _bwd_vjp(alpha, interpret, res, g):
+    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
+    bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
+    n_tiles = bt_total // _BT_TILE
+    row_block = _BT_TILE * k
+    out_shapes = (
+        jax.ShapeDtypeStruct(i_rows.shape, i_rows.dtype),      # di
+        jax.ShapeDtypeStruct(u_pre.shape, u_pre.dtype),        # du
+        jax.ShapeDtypeStruct(pred.shape, pred.dtype),          # dp
+        jax.ShapeDtypeStruct((c, c), jnp.float32),             # dcar_w
+        jax.ShapeDtypeStruct((1, c), jnp.float32),             # dcar_b
+        jax.ShapeDtypeStruct((c, m1), jnp.float32),            # dw1
+        jax.ShapeDtypeStruct((1, m1), jnp.float32),            # db1
+        jax.ShapeDtypeStruct((m1, m2), jnp.float32),           # dw2
+        jax.ShapeDtypeStruct((1, m2), jnp.float32),            # db2
+        jax.ShapeDtypeStruct((m2, m3), jnp.float32),           # dw3
+        jax.ShapeDtypeStruct((1, m3), jnp.float32),            # db3
+        jax.ShapeDtypeStruct((1, m3), jnp.float32),            # dw4
+    )
+    shared = lambda i: (0, 0)
+    out_specs = (
+        pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        # weight grads: every program maps to the SAME block — the TPU grid
+        # runs sequentially, so the block persists and accumulates
+        pl.BlockSpec((c, c), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, m1), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m1), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((m1, m2), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m2), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((m2, m3), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
+    )
+    in_specs = _specs(bt_total, k, c, m1, m2, m3) + [
+        pl.BlockSpec((_BT_TILE * k, 1), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                 # g [N, 1]
+    ]
+    (di, du, dp, dcw, dcb, dw1, db1, dw2, db2, dw3, db3, dw4) = pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k, alpha=alpha),
+        grid=(n_tiles,),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
+      w3, _row2(b3), _row2(w4),
+      g.astype(jnp.float32).reshape(bt_total * k, 1))
+    return (di, du, dp,
+            dcw.astype(car_w.dtype), dcb[0].astype(car_b.dtype),
+            dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+            dw2.astype(w2.dtype), db2[0].astype(b2.dtype),
+            dw3.astype(w3.dtype), db3[0].astype(b3.dtype),
+            dw4[0].astype(w4.dtype))
+
+
+cand_score_pallas.defvjp(_fwd_vjp, _bwd_vjp)
+
+
+def cand_score_reference(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2,
+                         w3, b3, w4, alpha=0.2):
+    """Plain-JAX twin of the fused kernel (tests; XLA fallback)."""
+    bt_total, c = u_pre.shape
+    k = i_rows.shape[0] // bt_total
+    i4 = i_rows.reshape(bt_total, k, c)
+    pre = _leaky(i4 + u_pre[:, None, :], alpha)
+    nc = jnp.tanh(
+        jnp.einsum("bkc,cd->bkd", pre, car_w,
+                   preferred_element_type=jnp.float32) + car_b
+    ).astype(pre.dtype)
+    x = nc * pred[:, None, :]
+    for w, b in ((w1, b1), (w2, b2), (w3, b3)):
+        x = _leaky(
+            jnp.einsum("bkc,cd->bkd", x, w,
+                       preferred_element_type=jnp.float32) + b, alpha,
+        ).astype(pre.dtype)
+    return jnp.sum(x.astype(jnp.float32) * w4, axis=-1)

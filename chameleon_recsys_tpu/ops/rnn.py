@@ -124,7 +124,10 @@ class UGRNNLayer(nn.Module):
         if self.use_pallas:
             from .pallas.ugrnn_pallas import ugrnn_scan_pallas
 
-            return ugrnn_scan_pallas(x_proj, w_hh, mask, self.forget_bias)
+            return ugrnn_scan_pallas(
+                x_proj, w_hh, mask, self.forget_bias,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            )
         return ugrnn_scan(x_proj, w_hh, mask, forget_bias=self.forget_bias)
 
 

@@ -109,3 +109,92 @@ def test_pooled_path_with_novelty_reg_trains():
     step = build_nar_train(cfg, sess, art).train_step
     state, metrics = step(state, batch, ace, metadata)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_scorer_matches_pooled_path():
+    """use_pallas_scorer (interpret mode on CPU) must reproduce the pooled
+    XLA path bit-for-bit up to f32 noise — same params, same pool."""
+    cfg = tiny_nar_config(matching_layer_sizes=(16, 8, 8))
+    cfg_fused = tiny_nar_config(
+        matching_layer_sizes=(16, 8, 8), use_pallas_scorer=True
+    )
+    art = tiny_article_schema(200)
+    sess = tiny_session_schema(200)
+    corpus = make_synthetic_corpus(art, ace_dim=16)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+    sessions = synthetic_hour_sessions(
+        corpus, sess, 0, cfg.batch_size, cfg.max_session_length
+    )
+    batch = next(
+        iter(
+            batches_from_sessions(
+                sessions, sess, cfg.batch_size, cfg.max_session_length
+            )
+        )
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    model_fused, _, _ = nar_init_state(
+        cfg_fused, sess, art, batch, ace, metadata
+    )
+    aux = NARAux(ace, metadata, state.stream.recent_pop_norm,
+                 state.stream.buffer_ids)
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        jax.random.PRNGKey(3), all_clicked, state.stream.buffer_ids,
+        num_negatives=cfg.negative_samples,
+        buffer_sample_size=cfg.negative_sample_from_buffer,
+    )
+    idx, ids = idx[:, :-1], ids[:, :-1]
+    assert (batch["item_clicked"].shape[0]
+            * batch["item_clicked"].shape[1]) % 8 == 0
+
+    base = model.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+    fused = model_fused.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.items_prob), np.asarray(base.items_prob),
+        rtol=2e-4, atol=2e-5,
+    )
+    assert float(fused.ce_loss) == pytest.approx(float(base.ce_loss), rel=1e-4)
+
+
+def test_fused_scorer_gradients_match():
+    """Full train-step gradient parity: fused scorer vs pooled XLA path."""
+    from chameleon_recsys_tpu.train.steps import build_nar_train
+
+    art = tiny_article_schema(150)
+    sess = tiny_session_schema(150)
+    corpus = make_synthetic_corpus(art, ace_dim=8)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+    losses = {}
+    for name, flag in (("xla", False), ("fused", True)):
+        cfg = tiny_nar_config(
+            matching_layer_sizes=(16, 8, 8), use_pallas_scorer=flag
+        )
+        sessions = synthetic_hour_sessions(
+            corpus, sess, 0, cfg.batch_size, cfg.max_session_length
+        )
+        batch = next(
+            iter(
+                batches_from_sessions(
+                    sessions, sess, cfg.batch_size, cfg.max_session_length
+                )
+            )
+        )
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        _, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+        step = build_nar_train(cfg, sess, art).train_step
+        for _ in range(3):
+            state, metrics = step(state, batch, ace, metadata)
+        losses[name] = float(metrics["loss"])
+    assert losses["fused"] == pytest.approx(losses["xla"], rel=5e-3)
