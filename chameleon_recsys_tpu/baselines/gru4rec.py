@@ -143,7 +143,203 @@ def cross_entropy_loss(scores, valid_row, valid_col, _bpreg=0.0):
     return jnp.sum(-diag * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-LOSSES = {"bpr-max": bpr_max_loss, "cross-entropy": cross_entropy_loss}
+def bpr_loss(scores, valid_row, valid_col, _bpreg=0.0):
+    """Plain BPR: mean over (valid) pairs of −log σ(r_ii − r_ij).
+
+    The reference averages over EVERY column including the diagonal itself
+    (gru4rec2.py ``bpr``: ``T.mean(-T.log(sigmoid(T.diag(yhat)-yhat.T)))`` —
+    the j=i term contributes the constant log 2); preserved here, with padded
+    rows/columns masked out of the mean.
+    """
+    n = scores.shape[0]
+    diag = jnp.take_along_axis(scores, jnp.arange(n)[:, None], axis=1)
+    ls = -jax.nn.log_sigmoid(diag - scores)  # [N, C]
+    colw = valid_col[None, :].astype(jnp.float32)
+    per_row = jnp.sum(ls * colw, axis=1) / jnp.maximum(jnp.sum(colw, axis=1), 1.0)
+    w = valid_row.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def top1_loss(scores, valid_row, valid_col, _bpreg=0.0):
+    """TOP1: per-row mean of σ(r_ij − r_ii) + σ(r_ij²) over all columns with
+    the diagonal's σ(r_ii²) contribution subtracted (gru4rec2.py ``top1``:
+    ``mean(mean(sig(-diag+yhatT)+sig(yhatT**2), axis=0) − sig(diag**2)/C``)."""
+    n = scores.shape[0]
+    diag = jnp.take_along_axis(scores, jnp.arange(n)[:, None], axis=1)
+    term = jax.nn.sigmoid(scores - diag) + jax.nn.sigmoid(jnp.square(scores))
+    colw = valid_col[None, :].astype(jnp.float32)
+    n_out = jnp.maximum(jnp.sum(colw, axis=1), 1.0)
+    per_row = (
+        jnp.sum(term * colw, axis=1) / n_out
+        - jax.nn.sigmoid(jnp.square(diag[:, 0])) / n_out
+    )
+    w = valid_row.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def top1_max_loss(scores, valid_row, valid_col, _bpreg=0.0):
+    """TOP1-max: softmax_neg-weighted TOP1 terms (gru4rec2.py ``top1_max``:
+    ``mean(Σ_j s_ij · (σ(r_ij − r_ii) + σ(r_ij²)))`` with s excluding the
+    diagonal)."""
+    n = scores.shape[0]
+    diag = jnp.take_along_axis(scores, jnp.arange(n)[:, None], axis=1)
+    diag_mask = jnp.zeros(scores.shape, bool).at[jnp.arange(n), jnp.arange(n)].set(True)
+    col_invalid = ~valid_col[None, :] & ~diag_mask
+    masked_scores = jnp.where(col_invalid, -jnp.inf, scores)
+    s = _softmax_neg(masked_scores, diag_mask | col_invalid)
+    term = jax.nn.sigmoid(scores - diag) + jax.nn.sigmoid(jnp.square(scores))
+    per_row = jnp.sum(s * term, axis=1)
+    w = valid_row.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+LOSSES = {
+    "bpr-max": bpr_max_loss,
+    "cross-entropy": cross_entropy_loss,
+    "bpr": bpr_loss,
+    "top1": top1_loss,
+    "top1-max": top1_max_loss,
+}
+
+
+def parse_loss(loss: str, bpreg: float = 0.5) -> Tuple[str, float]:
+    """Accept the reference's loss strings (gru4rec2.py:138-147):
+    'cross-entropy' | 'bpr' | 'bpr-max-<X>' | 'top1' | 'top1-max'
+    (plus plain 'bpr-max', taking bpreg from the argument)."""
+    if loss.startswith("bpr-max-"):
+        return "bpr-max", float(loss[len("bpr-max-"):])
+    if loss not in LOSSES:
+        raise ValueError(f"unknown GRU4Rec loss {loss!r}; valid: {sorted(LOSSES)}")
+    return loss, bpreg
+
+
+# ---------------------------------------------------------------------------
+# Optimizers — the reference's learning-rate adaptation rules
+# (gru4rec2.py:270-344) as optax transformations.  The Theano versions keep
+# sparse-row slots for the item-indexed matrices; on TPU the dense update is
+# an XLA scatter and the slot math is identical, so one dense rule serves all
+# parameters.
+# ---------------------------------------------------------------------------
+
+def _adapt_transform(adapt: str, decay: float, eps: float) -> optax.GradientTransformation:
+    zeros_like = lambda params: jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    if adapt in (None, False, "", "sgd"):
+        return optax.identity()
+
+    if adapt == "adagrad":
+        # acc += g²; g / sqrt(acc + eps)   (gru4rec2.py:295-304)
+        def init(params):
+            return zeros_like(params)
+
+        def update(grads, acc, params=None):
+            acc = jax.tree_util.tree_map(lambda a, g: a + g * g, acc, grads)
+            out = jax.tree_util.tree_map(
+                lambda g, a: g / jnp.sqrt(a + eps), grads, acc
+            )
+            return out, acc
+
+        return optax.GradientTransformation(init, update)
+
+    if adapt == "rmsprop":
+        # acc = d·acc + (1−d)·g²; g / sqrt(acc + eps)   (gru4rec2.py:327-339)
+        def init(params):
+            return zeros_like(params)
+
+        def update(grads, acc, params=None):
+            acc = jax.tree_util.tree_map(
+                lambda a, g: decay * a + (1.0 - decay) * g * g, acc, grads
+            )
+            out = jax.tree_util.tree_map(
+                lambda g, a: g / jnp.sqrt(a + eps), grads, acc
+            )
+            return out, acc
+
+        return optax.GradientTransformation(init, update)
+
+    if adapt == "adadelta":
+        # The reference's (nonstandard) variant (gru4rec2.py:305-326):
+        # acc += g²; g ← sqrt(upd + eps)·g; upd = d·upd + (1−d)·g²;
+        # return g / sqrt(acc + eps)
+        def init(params):
+            return {"acc": zeros_like(params), "upd": zeros_like(params)}
+
+        def update(grads, state, params=None):
+            acc = jax.tree_util.tree_map(
+                lambda a, g: a + g * g, state["acc"], grads
+            )
+            scaled = jax.tree_util.tree_map(
+                lambda u, g: jnp.sqrt(u + eps) * g, state["upd"], grads
+            )
+            upd = jax.tree_util.tree_map(
+                lambda u, g2: decay * u + (1.0 - decay) * g2 * g2,
+                state["upd"],
+                scaled,
+            )
+            out = jax.tree_util.tree_map(
+                lambda g2, a: g2 / jnp.sqrt(a + eps), scaled, acc
+            )
+            return out, {"acc": acc, "upd": upd}
+
+        return optax.GradientTransformation(init, update)
+
+    if adapt == "adam":
+        # The reference's variant shares ONE decay for both moments
+        # (gru4rec2.py:270-294): acc = d·acc + (1−d)·g²; m = d·m + (1−d)·g;
+        # out = m̂ / (sqrt(â) + eps) with 1−dᵗ bias correction.
+        def init(params):
+            return {
+                "acc": zeros_like(params),
+                "meang": zeros_like(params),
+                "count": jnp.zeros((), jnp.float32),
+            }
+
+        def update(grads, state, params=None):
+            count = state["count"] + 1.0
+            acc = jax.tree_util.tree_map(
+                lambda a, g: decay * a + (1.0 - decay) * g * g,
+                state["acc"],
+                grads,
+            )
+            meang = jax.tree_util.tree_map(
+                lambda m, g: decay * m + (1.0 - decay) * g,
+                state["meang"],
+                grads,
+            )
+            corr = 1.0 - decay ** count
+            out = jax.tree_util.tree_map(
+                lambda m, a: (m / corr) / (jnp.sqrt(a / corr) + eps),
+                meang,
+                acc,
+            )
+            return out, {"acc": acc, "meang": meang, "count": count}
+
+        return optax.GradientTransformation(init, update)
+
+    raise ValueError(
+        f"unknown GRU4Rec optimizer {adapt!r}; "
+        "valid: adagrad, adam, adadelta, rmsprop, sgd"
+    )
+
+
+def make_reference_optimizer(
+    adapt: str = "adagrad",
+    learning_rate: float = 0.05,
+    decay: float = 0.9,
+    momentum: float = 0.0,
+    lmbd: float = 0.0,
+    eps: float = 1e-6,
+) -> optax.GradientTransformation:
+    """Full update rule of the reference's RMSprop() driver
+    (gru4rec2.py:345-391): adapted gradient, optional momentum velocity,
+    L2 shrink ``p·(1 − lr·λ) − lr·g``."""
+    chain = [_adapt_transform(adapt, decay, eps)]
+    if lmbd > 0.0:
+        chain.append(optax.add_decayed_weights(lmbd))
+    if momentum > 0.0:
+        chain.append(optax.trace(decay=momentum))
+    chain.append(optax.scale(-learning_rate))
+    return optax.chain(*chain)
 
 
 class GRU4RecJax:
@@ -158,18 +354,23 @@ class GRU4RecJax:
         learning_rate: float = 0.05,
         n_sample: int = 200,
         dropout_p_hidden: float = 0.0,
+        optimizer: str = "adagrad",
+        decay: float = 0.9,
+        momentum: float = 0.0,
+        lmbd: float = 0.0,
         seed: int = 42,
     ):
         self.n_items = n_items
         self.layers = tuple(layers)
-        self.loss_name = loss
-        self.bpreg = bpreg
+        self.loss_name, self.bpreg = parse_loss(loss, bpreg)
         self.n_sample = n_sample
         self.dropout_p_hidden = dropout_p_hidden
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
         self.params = init_gru4rec_params(init_rng, n_items, self.layers)
-        self.optimizer = optax.adagrad(learning_rate)
+        self.optimizer = make_reference_optimizer(
+            optimizer, learning_rate, decay=decay, momentum=momentum, lmbd=lmbd
+        )
         self.opt_state = self.optimizer.init(self.params)
         self._train_step = jax.jit(self._train_step_fn)
         self._score_candidates = jax.jit(self._score_candidates_fn)

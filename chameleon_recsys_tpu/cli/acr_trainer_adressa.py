@@ -70,6 +70,8 @@ def main(argv=None):
     p.add_argument("--acr_embeddings_size", type=int, default=250)
     p.add_argument("--rnn_units", type=int, default=250)
     p.add_argument("--rnn_layers", type=int, default=1)
+    p.add_argument("--rnn_direction", default="unidirectional",
+                   choices=["unidirectional", "bidirectional"])
     p.add_argument("--truncate_tokens_length", type=int, default=300)
     p.add_argument("--autoencoder_noise", type=float, default=0.0)
     p.add_argument("--keywords_weight_on_loss", type=float, default=1.0)
@@ -102,6 +104,7 @@ def main(argv=None):
         acr_embeddings_size=args.acr_embeddings_size,
         rnn_units=args.rnn_units,
         rnn_layers=args.rnn_layers,
+        rnn_direction=args.rnn_direction,
         learning_rate=args.learning_rate,
         dropout_keep_prob=args.dropout_keep_prob,
         l2_reg_lambda=args.l2_reg_lambda,

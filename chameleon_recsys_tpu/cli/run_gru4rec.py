@@ -45,6 +45,14 @@ def build_parser():
     p.add_argument("--layers", default="300")
     p.add_argument("--n_sample", type=int, default=200)
     p.add_argument("--learning_rate", type=float, default=0.05)
+    # reference optimizer flags (run_gru4rec.py: adapt=ARGS.optimizer,
+    # decay=0.0, lmbd=ARGS.l2_lambda, momentum=ARGS.momentum)
+    p.add_argument("--optimizer", default="adagrad",
+                   choices=["adagrad", "adam", "adadelta", "rmsprop", "sgd"])
+    p.add_argument("--optimizer_decay", type=float, default=0.9)
+    p.add_argument("--momentum", type=float, default=0.0)
+    p.add_argument("--l2_lambda", type=float, default=0.0)
+    p.add_argument("--dropout_p_hidden", type=float, default=0.0)
     p.add_argument("--eval_total_negative_samples", type=int, default=50)
     p.add_argument("--eval_metrics_top_n", type=int, default=10)
     p.add_argument("--eval_negative_sample_relevance", type=float, default=0.02)
@@ -85,6 +93,11 @@ def run_from_args(args, model_factory=None):
             bpreg=args.bpreg,
             n_sample=args.n_sample,
             learning_rate=args.learning_rate,
+            optimizer=args.optimizer,
+            decay=args.optimizer_decay,
+            momentum=args.momentum,
+            lmbd=args.l2_lambda,
+            dropout_p_hidden=args.dropout_p_hidden,
         )
     )
 

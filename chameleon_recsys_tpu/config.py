@@ -189,6 +189,9 @@ class ACRConfig:
     cnn_num_filters: int = 128
     rnn_units: int = 250
     rnn_layers: int = 1
+    # 'unidirectional' | 'bidirectional' (reference acr_model.py:316-399,
+    # --rnn_direction flag in both ACR trainers)
+    rnn_direction: str = "unidirectional"
     learning_rate: float = 3e-4
     dropout_keep_prob: float = 1.0
     l2_reg_lambda: float = 7e-4

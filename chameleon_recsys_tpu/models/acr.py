@@ -114,6 +114,7 @@ class ACRClassifierModel(nn.Module):
                 cfg.rnn_layers,
                 keep_prob=cfg.dropout_keep_prob,
                 dtype=dtype,
+                direction=cfg.rnn_direction,
                 name="rnn",
             )(emb_rev, mask_rev, deterministic=not train)
             content = jnp.max(rnn_out, axis=1)
@@ -222,11 +223,16 @@ class ACRAutoencoderModel(nn.Module):
             noisy = emb + noise
 
         full_mask = jnp.ones((b, l), bool)
+        # The encoder honors rnn_direction (the reference routes both
+        # autoencoder RNNs through build_cudnn_rnn with the shared direction,
+        # acr_model.py:428, 462); the DECODER stays unidirectional here — its
+        # layers are seeded from the re-expanded bottleneck states and decode
+        # left-to-right, where a backward pass has no seed to decode from.
         _, enc_finals = StackedGRU(
             cfg.rnn_units, cfg.rnn_layers, keep_prob=cfg.dropout_keep_prob,
-            dtype=dtype, name="encoder",
+            dtype=dtype, direction=cfg.rnn_direction, name="encoder",
         )(jnp.flip(noisy, axis=1), full_mask, deterministic=not train)
-        # enc_finals: [layers, B, U]
+        # enc_finals: [layers, B, U] (2U when bidirectional)
 
         compressed = jnp.tanh(
             nn.Dense(cfg.acr_embeddings_size, dtype=dtype, name="bottleneck")(

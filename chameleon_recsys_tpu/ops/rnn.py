@@ -263,17 +263,26 @@ class LSTMLayer(nn.Module):
 
 class StackedLSTM(nn.Module):
     """Stacked LSTM with inter-layer dropout, cuDNN layout (for the ACR text
-    encoder's LSTM option, reference acr_model.py:308-353)."""
+    encoder's LSTM option, reference acr_model.py:308-353).
+
+    ``direction='bidirectional'`` mirrors CudnnLSTM's bidirectional mode
+    (reference acr_model.py:316-353): each layer runs an independent backward
+    pass over the time-reversed input, per-step outputs are the [fwd ‖ bwd]
+    concat (so layer l+1 consumes 2U features), and each layer's final state
+    is the [fwd ‖ bwd] concat of both directions' last states."""
 
     units: int
     num_layers: int = 1
     keep_prob: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    direction: str = "unidirectional"
 
     @nn.compact
     def __call__(
         self, x: jax.Array, mask: jax.Array, *, deterministic: bool = True
     ) -> Tuple[jax.Array, jax.Array]:
+        if self.direction not in ("unidirectional", "bidirectional"):
+            raise ValueError(f"invalid rnn direction {self.direction}")
         h = x
         finals = []
         for i in range(self.num_layers):
@@ -281,21 +290,35 @@ class StackedLSTM(nn.Module):
                 h = nn.Dropout(rate=1.0 - self.keep_prob)(
                     h, deterministic=deterministic
                 )
-            h, h_t, _ = LSTMLayer(self.units, dtype=self.dtype, name=f"layer_{i}")(
+            fwd, h_t, _ = LSTMLayer(self.units, dtype=self.dtype, name=f"layer_{i}")(
                 h, mask
             )
-            finals.append(h_t)
+            if self.direction == "bidirectional":
+                bwd_rev, h_t_bwd, _ = LSTMLayer(
+                    self.units, dtype=self.dtype, name=f"layer_{i}_bwd"
+                )(jnp.flip(h, axis=1), jnp.flip(mask, axis=1))
+                h = jnp.concatenate([fwd, jnp.flip(bwd_rev, axis=1)], axis=-1)
+                finals.append(jnp.concatenate([h_t, h_t_bwd], axis=-1))
+            else:
+                h = fwd
+                finals.append(h_t)
         return h, jnp.stack(finals)
 
 
 class StackedGRU(nn.Module):
     """Stacked GRU with inter-layer dropout (cuDNN applies dropout between
-    layers only, acr_model.py:372)."""
+    layers only, acr_model.py:372).
+
+    ``direction='bidirectional'`` mirrors CudnnGRU's bidirectional mode
+    (reference acr_model.py:356-399): per-layer independent backward pass on
+    the reversed input, [fwd ‖ bwd] per-step outputs, [fwd ‖ bwd] final
+    states.  ``h0`` (decoder seeding) is only supported unidirectionally."""
 
     units: int
     num_layers: int = 1
     keep_prob: float = 1.0
     dtype: jnp.dtype = jnp.float32
+    direction: str = "unidirectional"
 
     @nn.compact
     def __call__(
@@ -306,6 +329,10 @@ class StackedGRU(nn.Module):
         *,
         deterministic: bool = True,
     ) -> Tuple[jax.Array, jax.Array]:
+        if self.direction not in ("unidirectional", "bidirectional"):
+            raise ValueError(f"invalid rnn direction {self.direction}")
+        if h0 is not None and self.direction == "bidirectional":
+            raise ValueError("h0 seeding requires unidirectional direction")
         h = x
         finals = []
         for i in range(self.num_layers):
@@ -314,10 +341,25 @@ class StackedGRU(nn.Module):
                     h, deterministic=deterministic
                 )
             layer_h0 = None if h0 is None else h0[i]
-            h = GRULayer(self.units, dtype=self.dtype, name=f"layer_{i}")(
+            fwd = GRULayer(self.units, dtype=self.dtype, name=f"layer_{i}")(
                 h, mask, h0=layer_h0
             )
             # final state = last valid step's hidden
             lengths = jnp.maximum(jnp.sum(mask.astype(jnp.int32), axis=1), 1)
-            finals.append(jnp.take_along_axis(h, (lengths - 1)[:, None, None], axis=1)[:, 0])
+            fwd_final = jnp.take_along_axis(
+                fwd, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]
+            if self.direction == "bidirectional":
+                bwd_rev = GRULayer(
+                    self.units, dtype=self.dtype, name=f"layer_{i}_bwd"
+                )(jnp.flip(h, axis=1), jnp.flip(mask, axis=1))
+                # backward final = state after consuming the whole reversed
+                # sequence (copy-through masking skips the leading padding)
+                h = jnp.concatenate([fwd, jnp.flip(bwd_rev, axis=1)], axis=-1)
+                finals.append(
+                    jnp.concatenate([fwd_final, bwd_rev[:, -1]], axis=-1)
+                )
+            else:
+                h = fwd
+                finals.append(fwd_final)
         return h, jnp.stack(finals)

@@ -110,3 +110,102 @@ def test_acr_evaluate_on_train():
     metrics = trainer.evaluate(articles)
     # the objective is to overfit: train accuracy well above chance
     assert metrics["accuracy-category_id"] > 1.5 / n_cats, metrics
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional RNN option (reference acr_model.py:316-399,
+# rnn_direction='bidirectional')
+# ---------------------------------------------------------------------------
+
+def test_stacked_gru_bidirectional_shapes_and_fwd_parity():
+    """[fwd ‖ bwd] concat doubles the feature width, and the forward half is
+    bit-identical to the unidirectional stack (same flax param paths ⇒ same
+    init for the shared forward layers)."""
+    import jax
+    import jax.numpy as jnp
+    from chameleon_recsys_tpu.ops.rnn import StackedGRU
+
+    b, t, d, u, layers = 3, 7, 5, 6, 2
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    mask = jnp.asarray(np.tril(np.ones((b, t)), k=3).astype(bool))
+
+    uni = StackedGRU(u, layers)
+    bi = StackedGRU(u, layers, direction="bidirectional")
+    key = jax.random.PRNGKey(0)
+    p_uni = uni.init(key, x, mask)
+    p_bi = bi.init(key, x, mask)
+
+    out_uni, fin_uni = uni.apply(p_uni, x, mask)
+    out_bi, fin_bi = bi.apply(p_bi, x, mask)
+    assert out_bi.shape == (b, t, 2 * u)
+    assert fin_bi.shape == (layers, b, 2 * u)
+
+    # layer 0's forward params share the path "layer_0" in both models
+    np.testing.assert_allclose(
+        np.asarray(p_bi["params"]["layer_0"]["input_proj"]["kernel"]),
+        np.asarray(p_uni["params"]["layer_0"]["input_proj"]["kernel"]),
+    )
+    # single-layer forward half == unidirectional layer on the same input
+    uni1 = StackedGRU(u, 1)
+    bi1 = StackedGRU(u, 1, direction="bidirectional")
+    p_uni1 = uni1.init(key, x, mask)
+    p_bi1 = bi1.init(key, x, mask)
+    out_uni1, _ = uni1.apply(p_uni1, x, mask)
+    out_bi1, _ = bi1.apply(p_bi1, x, mask)
+    np.testing.assert_allclose(
+        np.asarray(out_bi1[..., :u]), np.asarray(out_uni1), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_stacked_gru_bidirectional_backward_is_reversed_scan():
+    """The backward half at step t must equal a forward scan over the
+    reversed sequence, read back in reverse (cuDNN bidirectional semantics)."""
+    import jax
+    import jax.numpy as jnp
+    from chameleon_recsys_tpu.ops.rnn import StackedGRU
+
+    b, t, d, u = 2, 5, 4, 3
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(b, t, d).astype(np.float32))
+    mask = jnp.ones((b, t), bool)
+
+    bi = StackedGRU(u, 1, direction="bidirectional")
+    p = bi.init(jax.random.PRNGKey(2), x, mask)
+    out, _ = bi.apply(p, x, mask)
+
+    # rebuild the bwd half with a unidirectional stack using the bwd params
+    uni = StackedGRU(u, 1)
+    p_bwd = {"params": {"layer_0": p["params"]["layer_0_bwd"]}}
+    out_rev, _ = uni.apply(p_bwd, jnp.flip(x, axis=1), mask)
+    np.testing.assert_allclose(
+        np.asarray(out[..., u:]),
+        np.asarray(jnp.flip(out_rev, axis=1)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+@pytest.mark.parametrize("extractor", ["GRU", "LSTM"])
+def test_classifier_bidirectional_trains(extractor, tmp_path):
+    word_emb, articles, n_cats = _corpus()
+    cfg = _cfg(text_feature_extractor=extractor, rnn_direction="bidirectional",
+               training_epochs=2)
+    specs = (ACRLabelSpec("category_id", n_cats, "multiclass"),)
+    weights = {"category_id": np.ones(n_cats, np.float32)}
+    trainer = ACRTrainer(cfg, word_emb, specs, weights)
+    losses = trainer.fit(articles)
+    assert np.isfinite(losses[-1])
+    ace = trainer.predict_all_ace(articles)
+    assert ace.shape == (N_ARTICLES, cfg.acr_embeddings_size)
+    assert np.isfinite(ace).all()
+
+
+def test_autoencoder_bidirectional_encoder():
+    word_emb, articles, _ = _corpus(seed=3)
+    cfg = _cfg(training_task="autoencoder", text_feature_extractor="GRU",
+               rnn_direction="bidirectional", training_epochs=2)
+    trainer = ACRTrainer(cfg, word_emb)
+    losses = trainer.fit(articles)
+    assert np.isfinite(losses[-1])
+    ace = trainer.predict_all_ace(articles)
+    assert ace.shape == (N_ARTICLES, cfg.acr_embeddings_size)

@@ -96,3 +96,160 @@ def test_rank_candidates_padding_last():
     # padding id 0 ranks last on valid clicks
     assert ranked[0, 0, -1] == 0
     assert set(ranked[0, 0, :2].tolist()) == {2, 4}
+
+
+# ---------------------------------------------------------------------------
+# Loss/optimizer matrix (reference gru4rec2.py:138-147, 188-213, 270-391)
+# ---------------------------------------------------------------------------
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _full_valid_scores(seed=2, n=4, n_sample=3):
+    rng = np.random.RandomState(seed)
+    scores = rng.randn(n, n + n_sample).astype(np.float32)
+    valid_row = np.ones(n, bool)
+    valid_col = np.ones(n + n_sample, bool)
+    return scores, valid_row, valid_col
+
+
+def test_bpr_matches_oracle():
+    """Oracle transliterates gru4rec2.py `bpr`:
+    T.mean(-T.log(sigmoid(T.diag(yhat) - yhat.T))) — diagonal included."""
+    from chameleon_recsys_tpu.baselines.gru4rec import bpr_loss
+
+    scores, valid_row, valid_col = _full_valid_scores()
+    got = float(bpr_loss(jnp.asarray(scores), jnp.asarray(valid_row),
+                         jnp.asarray(valid_col)))
+    n = scores.shape[0]
+    diag = np.diag(scores[:, :n])
+    expected = np.mean(-np.log(_sigmoid(diag[:, None] - scores)))
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_top1_matches_oracle():
+    """Oracle transliterates gru4rec2.py `top1`."""
+    from chameleon_recsys_tpu.baselines.gru4rec import top1_loss
+
+    scores, valid_row, valid_col = _full_valid_scores(seed=3)
+    got = float(top1_loss(jnp.asarray(scores), jnp.asarray(valid_row),
+                          jnp.asarray(valid_col)))
+    n, c = scores.shape
+    diag = np.diag(scores[:, :n])
+    term = _sigmoid(scores - diag[:, None]) + _sigmoid(scores ** 2)
+    expected = np.mean(term.mean(axis=1) - _sigmoid(diag ** 2) / c)
+    assert got == pytest.approx(expected, rel=1e-5)
+
+
+def test_top1_max_matches_oracle():
+    """Oracle transliterates gru4rec2.py `top1_max` (softmax_neg weighting,
+    diagonal zeroed)."""
+    from chameleon_recsys_tpu.baselines.gru4rec import top1_max_loss
+
+    scores, valid_row, valid_col = _full_valid_scores(seed=4)
+    got = float(top1_max_loss(jnp.asarray(scores), jnp.asarray(valid_row),
+                              jnp.asarray(valid_col)))
+    n, c = scores.shape
+    diag = np.diag(scores[:, :n])
+    expected_rows = []
+    for i in range(n):
+        cols = [j for j in range(c) if j != i]
+        e = np.exp(scores[i, cols] - scores[i, cols].max())
+        s = e / e.sum()
+        term = _sigmoid(scores[i, cols] - diag[i]) + _sigmoid(scores[i, cols] ** 2)
+        expected_rows.append((s * term).sum())
+    assert got == pytest.approx(np.mean(expected_rows), rel=1e-5)
+
+
+def test_parse_loss_reference_strings():
+    from chameleon_recsys_tpu.baselines.gru4rec import parse_loss
+
+    assert parse_loss("bpr-max-0.5") == ("bpr-max", 0.5)
+    assert parse_loss("bpr-max", 0.25) == ("bpr-max", 0.25)
+    assert parse_loss("top1") == ("top1", 0.5)
+    assert parse_loss("cross-entropy")[0] == "cross-entropy"
+    with pytest.raises(ValueError):
+        parse_loss("nope")
+
+
+@pytest.mark.parametrize("loss", ["bpr", "top1", "top1-max", "bpr-max-0.1"])
+def test_all_losses_train(loss):
+    """Every loss descends on a deterministic chain task."""
+    model = GRU4RecJax(20, layers=(12,), loss=loss, n_sample=6,
+                       learning_rate=0.3, seed=0)
+    rng = np.random.RandomState(0)
+    buffer_ids = np.arange(1, 20)
+    losses = []
+    for _ in range(60):
+        starts = rng.randint(1, 14, size=6)
+        items = np.stack([np.arange(s, s + 4) for s in starts]).astype(np.int32)
+        losses.append(model.fit_batch(items, items + 1, buffer_ids))
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+
+
+def _oracle_step(adapt, p, g, slots, lr, decay, eps=1e-6):
+    """Numpy transliteration of the reference per-step update (dense path,
+    no momentum, lmbd 0): p ← p − lr · adapted(g)."""
+    if adapt == "adagrad":
+        slots["acc"] = slots.get("acc", 0.0) + g * g
+        return p - lr * g / np.sqrt(slots["acc"] + eps)
+    if adapt == "rmsprop":
+        slots["acc"] = decay * slots.get("acc", 0.0) + (1 - decay) * g * g
+        return p - lr * g / np.sqrt(slots["acc"] + eps)
+    if adapt == "adadelta":
+        slots["acc"] = slots.get("acc", 0.0) + g * g
+        g2 = np.sqrt(slots.get("upd", 0.0) + eps) * g
+        slots["upd"] = decay * slots.get("upd", 0.0) + (1 - decay) * g2 * g2
+        return p - lr * g2 / np.sqrt(slots["acc"] + eps)
+    if adapt == "adam":
+        slots["count"] = slots.get("count", 0.0) + 1.0
+        slots["acc"] = decay * slots.get("acc", 0.0) + (1 - decay) * g * g
+        slots["meang"] = decay * slots.get("meang", 0.0) + (1 - decay) * g
+        corr = 1 - decay ** slots["count"]
+        return p - lr * (slots["meang"] / corr) / (
+            np.sqrt(slots["acc"] / corr) + eps
+        )
+    raise ValueError(adapt)
+
+
+@pytest.mark.parametrize("adapt", ["adagrad", "adam", "adadelta", "rmsprop"])
+def test_optimizer_matches_reference_math(adapt):
+    import optax
+    from chameleon_recsys_tpu.baselines.gru4rec import make_reference_optimizer
+
+    lr, decay = 0.1, 0.9
+    opt = make_reference_optimizer(adapt, lr, decay=decay)
+    rng = np.random.RandomState(5)
+    p = jnp.asarray(rng.randn(4).astype(np.float32))
+    p_oracle = np.asarray(p).copy()
+    state = opt.init(p)
+    slots = {}
+    for _ in range(5):
+        g = rng.randn(4).astype(np.float32)
+        updates, state = opt.update(jnp.asarray(g), state, p)
+        p = optax.apply_updates(p, updates)
+        p_oracle = _oracle_step(adapt, p_oracle, g, slots, lr, decay)
+    np.testing.assert_allclose(np.asarray(p), p_oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_optimizer_momentum_and_l2():
+    """Momentum path: v ← m·v − lr·(g + λ·p); p ← p + v
+    (reference gru4rec2.py:360-366)."""
+    import optax
+    from chameleon_recsys_tpu.baselines.gru4rec import make_reference_optimizer
+
+    lr, mom, lmbd = 0.1, 0.5, 0.01
+    opt = make_reference_optimizer("sgd", lr, momentum=mom, lmbd=lmbd)
+    rng = np.random.RandomState(6)
+    p = jnp.asarray(rng.randn(3).astype(np.float32))
+    p_oracle = np.asarray(p).copy()
+    v = np.zeros(3, np.float32)
+    state = opt.init(p)
+    for _ in range(4):
+        g = rng.randn(3).astype(np.float32)
+        updates, state = opt.update(jnp.asarray(g), state, p)
+        p = optax.apply_updates(p, updates)
+        v = mom * v - lr * (g + lmbd * p_oracle)
+        p_oracle = p_oracle + v
+    np.testing.assert_allclose(np.asarray(p), p_oracle, rtol=1e-5, atol=1e-6)
