@@ -30,6 +30,10 @@ from ..config import (
 )
 from ..data.collate import Session
 from ..data.preprocessing.sessionization import Click, sessionize_clicks
+from ..data.preprocessing.user_agent import (
+    extract_device_group_from_user_agent,
+    extract_os_from_user_agent,
+)
 from ..data.preprocessing.time_features import cycled_feature, local_time_features
 from ..utils.io import serialize
 from ..data.sessions import write_sessions_tfrecord
@@ -118,6 +122,13 @@ def main(argv=None):
 
     clicks = []
     user_encoder: dict = {}
+    os_encoder: dict = {}
+    device_encoder: dict = {}
+
+    def _encode_dynamic(encoder: dict, value: str) -> int:
+        if value not in encoder:
+            encoder[value] = len(encoder) + 1  # 0 stays the padding id
+        return encoder[value]
     with open(args.input_clicks_json_path) as f:
         for line in f:
             rec = json.loads(line)
@@ -147,6 +158,23 @@ def main(argv=None):
         )
         for click in raw.clicks:
             rec = click.context or {}
+            # Events without pre-encoded device/OS columns but with a raw
+            # User-Agent header get them parsed here (the reference runs
+            # ua-parser in its ETL, nar_module/nar/utils.py:145-180).
+            if "userAgent" in rec and ("os" not in rec or "deviceType" not in rec):
+                ua = rec["userAgent"]
+                rec = dict(rec)
+                rec.setdefault(
+                    "os",
+                    _encode_dynamic(os_encoder, extract_os_from_user_agent(ua)),
+                )
+                rec.setdefault(
+                    "deviceType",
+                    _encode_dynamic(
+                        device_encoder,
+                        extract_device_group_from_user_agent(ua),
+                    ),
+                )
             for key, src in (
                 ("city", "city"), ("region", "region"), ("country", "country"),
                 ("device", "deviceType"), ("os", "os"),
@@ -194,7 +222,11 @@ def main(argv=None):
     serialize(
         args.output_nar_preprocessing_resources_path,
         {
-            "nar_encoders": {"user_id": user_encoder},
+            "nar_encoders": {
+                "user_id": user_encoder,
+                "os": os_encoder,
+                "device": device_encoder,
+            },
             "cardinalities": cardinalities,
             "numeric_scalers": NUMERIC_SCALERS,
         },

@@ -95,6 +95,16 @@ def create_args_parser():
     p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
     p.add_argument("--save_eval_sessions_recommendations", action="store_true")
     p.add_argument("--resume_checkpoint", default="")
+    # remote artifact sync (reference GCS workflow shape without the cloud
+    # SDK: nar_trainer_gcom.py:79-80, 450-459, 527-556): a store root dir +
+    # a path under it.  --warmup_model_dir downloads a previous run's
+    # checkpoint into model_dir before training; --sync_artifacts_to uploads
+    # model_dir on every export.
+    p.add_argument("--artifact_store_root", default="")
+    p.add_argument("--warmup_model_dir", default="",
+                   help="store path of a previous run to warm-start from")
+    p.add_argument("--sync_artifacts_to", default="",
+                   help="store path to upload model_dir artifacts to")
     p.add_argument("--platform", default="",
                    help="force a JAX platform (e.g. cpu)")
     p.add_argument("--use_native_loader", action="store_true",
@@ -229,6 +239,12 @@ def main(argv=None):
     if not files:
         raise SystemExit(f"no session files match {args.train_set_path_regex}")
 
+    store = None
+    if args.artifact_store_root:
+        from ..utils.artifact_store import LocalArtifactStore
+
+        store = LocalArtifactStore(args.artifact_store_root)
+
     harness = TemporalHarness(
         cfg,
         run_cfg,
@@ -241,9 +257,19 @@ def main(argv=None):
         log_recommendations=args.save_eval_sessions_recommendations,
         eval_metrics_by_session_position=args.eval_metrics_by_session_position,
         eval_cold_start=args.eval_cold_start,
+        artifact_store=store if args.sync_artifacts_to else None,
+        artifact_remote_path=args.sync_artifacts_to,
     )
-    if args.resume_checkpoint:
-        harness.load_checkpoint(args.resume_checkpoint)
+    resume_ckpt = args.resume_checkpoint
+    if store is not None and args.warmup_model_dir and not resume_ckpt:
+        from ..utils.artifact_store import warm_start_model_dir
+
+        fetched = warm_start_model_dir(store, args.warmup_model_dir, args.model_dir)
+        ckpt = Path(args.model_dir) / "checkpoint.pkl"
+        if fetched and ckpt.exists():
+            resume_ckpt = str(ckpt)
+    if resume_ckpt:
+        harness.load_checkpoint(resume_ckpt)
 
     if args.use_native_loader:
         from ..native import NativeSessionLoader, native_available

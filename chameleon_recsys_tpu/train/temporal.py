@@ -72,7 +72,14 @@ class TemporalHarness:
         log_recommendations: bool = False,
         eval_metrics_by_session_position: bool = False,
         eval_cold_start: bool = False,
+        artifact_store=None,
+        artifact_remote_path: str = "",
     ):
+        # Remote artifact sync seam (reference GCS workflow shape,
+        # gcs_utils.py:22-109): every export also uploads model_dir to the
+        # store.  None = plain local files only.
+        self.artifact_store = artifact_store
+        self.artifact_remote_path = artifact_remote_path
         self.cfg = cfg
         self.run_cfg = run_cfg
         self.session_schema = session_schema
@@ -116,6 +123,10 @@ class TemporalHarness:
             for clf in self.bench_classifiers:
                 clf.cold_start_state = ColdStartAnalysisState()
         self.hours_trained = 0
+        # Count of completed chunk evals — checkpointed so a resume from a
+        # checkpoint taken between a chunk's train and its eval re-runs that
+        # eval instead of silently thinning the eval CSV.
+        self.evals_done = 0
         self.train_meter = ThroughputMeter("train")
         self.eval_meter = ThroughputMeter("eval")
 
@@ -187,8 +198,10 @@ class TemporalHarness:
             )
             # Host-side structures learn from train batches too
             # (reference nar_model.py:1628-1650 runs in both modes).
-            if self.eval_cold_start:
-                self._register_batch_clicks(np_batch)
+            # First-click tracking is UNCONDITIONAL like the reference hook
+            # (nar_model.py:1481-1494): enabling cold-start analysis mid-run
+            # (e.g. after a resume) must see correct elapsed-step stats.
+            self._register_batch_clicks(np_batch)
             self._train_host_side(np_batch)
             self.train_meter.start()
         self.train_meter.stop(0)
@@ -290,8 +303,8 @@ class TemporalHarness:
             # Cold-start bookkeeping runs AFTER this batch's first-click
             # registration (reference order, nar_model.py:1481-1494: items
             # clicked AND recommended in the same batch count with elapsed 0).
+            self._register_batch_clicks(np_batch)
             if self.eval_cold_start:
-                self._register_batch_clicks(np_batch)
                 self._update_cold_start(np_batch, labels, neg_items, preds)
             self._train_host_side(np_batch)
 
@@ -324,6 +337,7 @@ class TemporalHarness:
         # restore pre-eval streaming state (train must not see eval's future)
         self.state = self.state._replace(stream=stream_snapshot)
         self.host_state.restore_state_checkpoint()
+        self.evals_done += 1
         return row
 
     def _log_eval_batch(self, np_batch, labels, neg_items, preds, probs, pop_norm):
@@ -405,9 +419,9 @@ class TemporalHarness:
         # Resume support: skip hours already trained before this call (the
         # checkpoint persists hours_trained — unlike the reference, which
         # always restarts at train_files_from and silently re-trains).
-        # Evals are skipped for chunks fully covered by the restored cursor;
-        # a checkpoint taken between a chunk's train and its eval loses that
-        # one eval row.
+        # Evals are gated on the persisted evals_done cursor, so a checkpoint
+        # taken between a chunk's train and its eval re-runs exactly that
+        # pending eval on resume (no dropped eval CSV row).
         initial_done = self.hours_trained
 
         for start in range(0, len(hours), chunk):
@@ -418,7 +432,7 @@ class TemporalHarness:
                 stats = self.train_hour(hour_source(h))
                 log.info("hour %d trained: %s", h, stats)
             eval_idx = start + chunk
-            if eval_idx < len(hours) and eval_idx > initial_done:
+            if eval_idx < len(hours) and self.evals_done < start // chunk + 1:
                 self.evaluate_hour(hour_source(hours[eval_idx]))
             self._maybe_export()
         return self.artifacts.eval_sessions_metrics_log
@@ -447,6 +461,8 @@ class TemporalHarness:
                 self.artifacts.sessions_chameleon_recommendations_log,
             )
             self.artifacts.sessions_chameleon_recommendations_log.clear()
+        if self.artifact_store is not None:
+            self.artifact_store.upload_dir(out, self.artifact_remote_path)
 
     # ------------------------------------------------------------------
     # checkpoint/resume: the full unit, fixing the reference's silent
@@ -456,6 +472,7 @@ class TemporalHarness:
         payload = {
             "state": jax.tree_util.tree_map(np.asarray, self.state),
             "hours_trained": self.hours_trained,
+            "evals_done": self.evals_done,
             "metrics_log": self.artifacts.eval_sessions_metrics_log,
             "host_cooccurrence": self.host_state.items_coocurrences,
             "host_first_click_step": self.host_state.items_first_click_step,
@@ -486,6 +503,7 @@ class TemporalHarness:
             dir_path / "host_state.pkl",
             {
                 "hours_trained": self.hours_trained,
+                "evals_done": self.evals_done,
                 "metrics_log": self.artifacts.eval_sessions_metrics_log,
                 "host_cooccurrence": self.host_state.items_coocurrences,
                 "host_first_click_step": self.host_state.items_first_click_step,
@@ -514,6 +532,7 @@ class TemporalHarness:
         self.state = ckptr.restore(dir_path / "device_state", abstract)
         payload = deserialize(dir_path / "host_state.pkl")
         self.hours_trained = payload["hours_trained"]
+        self.evals_done = payload.get("evals_done", len(payload["metrics_log"]))
         self.artifacts.eval_sessions_metrics_log = payload["metrics_log"]
         self.host_state.items_coocurrences = payload["host_cooccurrence"]
         self.host_state.items_first_click_step = payload["host_first_click_step"]
@@ -530,6 +549,7 @@ class TemporalHarness:
         payload = deserialize(path)
         self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
         self.hours_trained = payload["hours_trained"]
+        self.evals_done = payload.get("evals_done", len(payload["metrics_log"]))
         self.artifacts.eval_sessions_metrics_log = payload["metrics_log"]
         self.host_state.items_coocurrences = payload["host_cooccurrence"]
         self.host_state.items_first_click_step = payload["host_first_click_step"]

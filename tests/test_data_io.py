@@ -143,3 +143,85 @@ def test_word_embedding_matrix():
     assert matrix.shape == (4, 4)
     np.testing.assert_allclose(matrix[2], np.ones(4))
     assert (np.abs(matrix[:2]) <= 0.04).all()
+
+
+# ---------------------------------------------------------------------------
+# User-agent OS/device extraction (reference nar_module/nar/utils.py:145-180)
+# ---------------------------------------------------------------------------
+
+UA_CASES = [
+    ("Mozilla/5.0 (iPhone; CPU iPhone OS 10_3 like Mac OS X) AppleWebKit/603.1.30"
+     " (KHTML, like Gecko) Version/10.0 Mobile/14E277 Safari/602.1", "iOS", "Mobile"),
+    ("Mozilla/5.0 (iPad; CPU OS 9_3_5 like Mac OS X) AppleWebKit/601.1.46", "iOS", "Tablet"),
+    ("Mozilla/5.0 (Linux; Android 7.0; SM-G930V Build/NRD90M) AppleWebKit/537.36"
+     " (KHTML, like Gecko) Chrome/59.0.3071.125 Mobile Safari/537.36", "Android", "Mobile"),
+    ("Mozilla/5.0 (Linux; Android 6.0.1; SHIELD Tablet K1 Build/MRA58K)", "Android", "Tablet"),
+    ("Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft; Lumia 950)"
+     " AppleWebKit/537.36 IEMobile/11.0", "Windows Phone", "Mobile"),
+    ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+     " (KHTML, like Gecko) Chrome/60.0.3112.113 Safari/537.36", "Windows", "Desktop"),
+    ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_12_6) AppleWebKit/603.3.8", "Mac OS X", "Desktop"),
+    ("Mozilla/5.0 (X11; CrOS x86_64 9592.96.0) AppleWebKit/537.36", "Chrome OS", "Desktop"),
+    ("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019)", "Symbian OS", "Mobile"),
+    ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko)"
+     " Version/10.3.3.2205 Mobile Safari/537.35+", "BlackBerry OS", "Mobile"),
+    ("Mozilla/5.0 (Mobile; rv:26.0) Gecko/26.0 Firefox/26.0", "Firefox OS", "Mobile"),
+    ("Mozilla/5.0 (SMART-TV; Linux; Tizen 2.4.0) AppleWebkit/538.1", "Samsung", "TV"),
+    ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko)"
+     " Chrome/60.0.3112.90 Safari/537.36 CrKey/1.27.74607", "Chromecast", "TV"),
+    ("Mozilla/5.0 (webOS/2.2.4; U; en-US) AppleWebKit/534.6", "webOS", "Mobile"),
+    ("curl/7.54.0", "Other", "Desktop"),
+    ("", "Other", "Desktop"),
+    (None, "Other", "Desktop"),
+]
+
+
+def test_extract_os_from_user_agent():
+    from chameleon_recsys_tpu.data.preprocessing.user_agent import (
+        OS_LIST,
+        extract_os_from_user_agent,
+    )
+
+    for ua, expected_os, _ in UA_CASES:
+        got = extract_os_from_user_agent(ua)
+        assert got == expected_os, (ua, got, expected_os)
+        assert got == "Other" or got in OS_LIST
+
+
+def test_extract_device_group_from_user_agent():
+    from chameleon_recsys_tpu.data.preprocessing.user_agent import (
+        extract_device_group_from_user_agent,
+    )
+
+    for ua, _, expected_group in UA_CASES:
+        got = extract_device_group_from_user_agent(ua)
+        assert got == expected_group, (ua, got, expected_group)
+
+
+def test_extract_domain_from_url():
+    from chameleon_recsys_tpu.data.preprocessing.user_agent import (
+        extract_domain_from_url,
+    )
+
+    # group(0) semantics like the reference (includes matched prefix)
+    assert extract_domain_from_url("http://www.adressa.no/nyheter/x") == (
+        "http://www.adressa.no"
+    )
+    assert extract_domain_from_url("adressa.no/x") == "adressa.no"
+    assert extract_domain_from_url("") is None
+
+
+def test_enrich_click_context_with_user_agent():
+    from chameleon_recsys_tpu.data.preprocessing.user_agent import (
+        enrich_click_context_with_user_agent,
+    )
+
+    ctx = enrich_click_context_with_user_agent(
+        {"user_agent": UA_CASES[0][0], "city": 3}
+    )
+    assert ctx["os"] == "iOS" and ctx["device"] == "Mobile" and ctx["city"] == 3
+    # existing parsed columns are never overwritten
+    ctx2 = enrich_click_context_with_user_agent(
+        {"user_agent": UA_CASES[0][0], "os": "preparsed"}
+    )
+    assert ctx2["os"] == "preparsed"

@@ -198,3 +198,90 @@ def test_fused_scorer_gradients_match():
             state, metrics = step(state, batch, ace, metadata)
         losses[name] = float(metrics["loss"])
     assert losses["fused"] == pytest.approx(losses["xla"], rel=5e-3)
+
+
+def _setup_paths(num_items=200, seed_hours=0):
+    """(model, state, aux, batch, pool, idx, ids) with `seed_hours` hours of
+    stream-state warmup applied before comparing the scoring paths."""
+    cfg = tiny_nar_config()
+    art = tiny_article_schema(num_items)
+    sess = tiny_session_schema(num_items)
+    corpus = make_synthetic_corpus(art, ace_dim=16)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+
+    def batch_for_hour(h):
+        sessions = synthetic_hour_sessions(
+            corpus, sess, h, cfg.batch_size, cfg.max_session_length
+        )
+        b = next(iter(batches_from_sessions(
+            sessions, sess, cfg.batch_size, cfg.max_session_length
+        )))
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    batch = batch_for_hour(seed_hours)
+    model, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+
+    if seed_hours:
+        from chameleon_recsys_tpu.state.stream_state import update_stream_state
+
+        for h in range(seed_hours):
+            wb = batch_for_hour(h)
+            all_clicked = jnp.concatenate(
+                [wb["item_clicked"], wb["label_last_item"]], axis=1
+            )
+            ts = wb["event_timestamp"]
+            last = jnp.max(ts, axis=1, keepdims=True)
+            all_ts = jnp.where(
+                all_clicked != 0, jnp.concatenate([ts, last], axis=1), 0
+            )
+            state = state._replace(
+                stream=update_stream_state(state.stream, all_clicked, all_ts, cfg)
+            )
+
+    aux = NARAux(ace, metadata, state.stream.recent_pop_norm,
+                 state.stream.buffer_ids)
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        jax.random.PRNGKey(3), all_clicked, state.stream.buffer_ids,
+        num_negatives=cfg.negative_samples,
+        buffer_sample_size=cfg.negative_sample_from_buffer,
+    )
+    return model, state, aux, batch, pool, idx[:, :-1], ids[:, :-1]
+
+
+def test_pooled_matches_dense_cold_start_step():
+    """Step-1 parity from an EMPTY buffer: the documented pooled-path
+    deviation (models/nar.py:325-329 — buffer-empty recency/novelty fallback
+    stats weighted over the pool's sampled slots instead of the dense path's
+    [B,T,K] multiset) must stay within this pinned tolerance."""
+    model, state, aux, batch, pool, idx, ids = _setup_paths()
+    assert not np.any(np.asarray(state.stream.buffer_ids))  # genuinely cold
+
+    dense = model.apply({"params": state.params}, batch, aux, ids, train=False)
+    pooled = model.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+    diff = np.abs(np.asarray(pooled.items_prob) - np.asarray(dense.items_prob))
+    assert diff.max() < 5e-4, diff.max()
+    assert float(pooled.ce_loss) == pytest.approx(float(dense.ce_loss), rel=1e-3)
+
+
+def test_pooled_matches_dense_warm_buffer():
+    """With a warm buffer the fallback never triggers and the paths agree to
+    f32 accumulation noise."""
+    model, state, aux, batch, pool, idx, ids = _setup_paths(seed_hours=2)
+    assert np.any(np.asarray(state.stream.buffer_ids))
+
+    dense = model.apply({"params": state.params}, batch, aux, ids, train=False)
+    pooled = model.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pooled.items_prob), np.asarray(dense.items_prob),
+        rtol=2e-4, atol=2e-5,
+    )

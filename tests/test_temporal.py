@@ -153,3 +153,43 @@ def test_orbax_checkpoint_roundtrip(harness_setup, tmp_path):
     s1 = h1.train_hour(hour_source(2))
     s2 = h2.train_hour(hour_source(2))
     assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=1e-5)
+
+
+def test_first_click_tracking_always_on(harness_setup):
+    """items_first_click_step must be updated even with eval_cold_start off
+    (reference hook order, nar_model.py:1481-1494): enabling cold-start
+    analysis mid-run sees correct elapsed-step stats."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    h = _make_harness(cfg, run_cfg, art, sess, corpus)  # eval_cold_start=False
+    h.train_hour(hour_source(0))
+    assert len(h.host_state.items_first_click_step) > 0
+    assert h.host_state.current_step > 0
+
+
+def test_resume_reruns_pending_eval(harness_setup, tmp_path):
+    """A checkpoint taken after a chunk's training but BEFORE its eval must
+    re-run that eval on resume — no silently dropped eval CSV row."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    h1 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    # chunk = 2: train h0, h1 — then checkpoint WITHOUT running the h2 eval
+    h1.train_hour(hour_source(0))
+    h1.train_hour(hour_source(1))
+    assert h1.evals_done == 0
+    ckpt = h1.save_checkpoint(tmp_path / "pending.pkl")
+
+    h2 = _make_harness(cfg, run_cfg, art, sess, corpus)
+    h2.load_checkpoint(ckpt)
+    assert h2.evals_done == 0
+    evals = []
+    original = h2.evaluate_hour
+
+    def spy(sessions):
+        evals.append(1)
+        return original(sessions)
+
+    h2.evaluate_hour = spy
+    h2.run(hour_source, hours=range(3))
+    # exactly one eval (the pending h2 eval), zero re-trained hours
+    assert len(evals) == 1
+    assert len(h2.artifacts.eval_sessions_metrics_log) == 1
+    assert h2.evals_done == 1
