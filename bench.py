@@ -13,12 +13,199 @@ is ≥5× the TF1.12 single-GPU (K80) baseline.  We use a nominal estimate of
 optimistic for a feed_dict-bound TF1 Estimator loop with per-batch host
 round-trips); vs_baseline = measured / 1000.
 """
+import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 NOMINAL_TF1_K80_SESSIONS_PER_SEC = 1000.0
+
+# bf16 peak matmul throughput per chip, FLOP/s (public spec sheets)
+_PEAK_FLOPS_BY_KIND = {
+    "v6": 918e12,  # Trillium
+    "v5p": 459e12,
+    "v5": 197e12,  # v5e / v5 lite
+    "v4": 275e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+    for key, peak in _PEAK_FLOPS_BY_KIND.items():
+        if key in kind:
+            return peak
+    return 0.0
+
+
+def _step_flops(jitted, *args) -> float:
+    """XLA's own FLOP count for one compiled step (0.0 if unavailable)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def scaling_main():
+    """--scaling: weak-scaling sessions/s at 1/2/4/8 devices through the
+    sharded production programs (parallel/sharded.py).
+
+    On a multi-chip TPU slice this measures real hardware scaling.  With
+    one chip (this environment) it falls back to N virtual CPU devices —
+    there the numbers validate the sharded code path and collective layout,
+    not hardware bandwidth (all virtual devices share the same host CPU)."""
+    n_target = 8
+    # Platform choice must happen BEFORE the first backend touch (the
+    # device count / platform cannot change after initialization).  Real
+    # multi-chip runs opt in via CHAMELEON_SCALING_REAL_DEVICES=1; the
+    # default is the 8-virtual-device CPU mesh, which also keeps the one
+    # tunneled TPU chip free (a second client can hang backend init).
+    use_real = os.environ.get("CHAMELEON_SCALING_REAL_DEVICES") == "1"
+    if not use_real:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={n_target}"
+            ).strip()
+
+    import jax
+
+    if not use_real:
+        jax.config.update("jax_platforms", "cpu")
+    platform = jax.default_backend()
+
+    import jax.numpy as jnp
+
+    from chameleon_recsys_tpu.config import (
+        ArticleFeaturesSchema,
+        FeatureSpec,
+        NARConfig,
+        SessionFeaturesSchema,
+    )
+    from chameleon_recsys_tpu.data.collate import batches_from_sessions
+    from chameleon_recsys_tpu.data.synthetic import (
+        make_synthetic_corpus,
+        synthetic_hour_sessions,
+    )
+    from chameleon_recsys_tpu.parallel.mesh import make_mesh
+    from chameleon_recsys_tpu.parallel.sharded import put_batch, shard_nar_programs
+    from chameleon_recsys_tpu.train.steps import build_nar_train, nar_init_state
+
+    num_items = 4096
+    article_schema = ArticleFeaturesSchema(
+        features=(
+            FeatureSpec("article_id", "categorical", num_items),
+            FeatureSpec("created_at_ts", "numerical", dtype="int"),
+            FeatureSpec("category_id", "categorical", 32),
+        )
+    )
+    session_schema = SessionFeaturesSchema(
+        single=(
+            FeatureSpec("user_id", "categorical", 10000),
+            FeatureSpec("session_id", "numerical", dtype="int"),
+            FeatureSpec("session_start", "numerical", dtype="int"),
+            FeatureSpec("session_size", "numerical", dtype="int"),
+        ),
+        sequence=(
+            FeatureSpec("event_timestamp", "numerical", dtype="int"),
+            FeatureSpec("item_clicked", "categorical", num_items),
+            FeatureSpec("os", "categorical", 23),
+            FeatureSpec("local_hour_sin", "numerical", dtype="float"),
+        ),
+    )
+    per_device_batch = 32
+    corpus = make_synthetic_corpus(article_schema, ace_dim=64)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+
+    throughputs = {}
+    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    for n_dev in counts:
+        model_par = 2 if n_dev >= 2 else 1
+        plan = make_mesh(
+            data_parallelism=n_dev // model_par,
+            model_parallelism=model_par,
+            devices=jax.devices()[:n_dev],
+        )
+        # weak scaling: per-device batch fixed, global batch grows with N
+        cfg = NARConfig(
+            car_embedding_size=128,
+            rnn_units=64,
+            rnn_num_layers=2,
+            matching_layer_sizes=(64, 32, 16),
+            negative_samples=10,
+            negative_sample_from_buffer=300,
+            eval_negative_samples=10,
+            eval_negative_sample_from_buffer=300,
+            recent_clicks_buffer_max_size=2048,
+            recent_clicks_for_normalization=512,
+            batch_size=per_device_batch * plan.data_parallelism,
+            max_session_length=10,
+            metrics_top_n=5,
+        )
+        sessions = synthetic_hour_sessions(
+            corpus, session_schema, 0, 2 * cfg.batch_size,
+            cfg.max_session_length,
+        )
+        np_batches = list(
+            batches_from_sessions(
+                sessions, session_schema, cfg.batch_size, cfg.max_session_length
+            )
+        )
+        programs = build_nar_train(cfg, session_schema, article_schema)
+        example = {k: jnp.asarray(v) for k, v in np_batches[0].items()}
+        _, _, state = nar_init_state(
+            cfg, session_schema, article_schema, example, ace, metadata
+        )
+        sharded = shard_nar_programs(
+            programs, plan, state,
+            {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+             for k, v in np_batches[0].items()},
+            ace, metadata, min_rows=1024,
+        )
+        state = jax.device_put(state, sharded.state_sharding)
+        ace_d = jax.device_put(ace, sharded.ace_sharding)
+        meta_d = jax.device_put(metadata, sharded.metadata_sharding)
+        batches = [put_batch(sharded, b) for b in np_batches]
+
+        for b in batches[:2]:  # compile + warm buffer
+            state, metrics = sharded.train_step(state, b, ace_d, meta_d)
+        jax.block_until_ready(metrics["loss"])
+        n_steps = 20
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, metrics = sharded.train_step(
+                state, batches[i % len(batches)], ace_d, meta_d
+            )
+        jax.block_until_ready(metrics["loss"])
+        throughputs[n_dev] = cfg.batch_size * n_steps / (
+            time.perf_counter() - t0
+        )
+
+    n_max = counts[-1]
+    efficiency = throughputs[n_max] / (n_max * throughputs[1])
+    result = {
+        "metric": "nar_train_weak_scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"x{n_max}-vs-x1",
+        "vs_baseline": round(efficiency / 0.85, 2),  # ≥0.85 target
+        "platform": platform,
+        "sessions_per_sec": {
+            str(k): round(v, 1) for k, v in throughputs.items()
+        },
+    }
+    if platform != "tpu":
+        result["note"] = (
+            "virtual devices share one host CPU — this validates the sharded "
+            "program + collectives at every mesh size, not hardware scaling; "
+            "run with CHAMELEON_SCALING_REAL_DEVICES=1 on a multi-chip slice "
+            "for a real efficiency figure"
+        )
+    print(json.dumps(result))
 
 
 def main():
@@ -131,19 +318,37 @@ def main():
     elapsed = time.perf_counter() - t0
 
     sessions_per_sec = cfg.batch_size * n_steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": "nar_train_sessions_per_sec_per_chip",
-                "value": round(sessions_per_sec, 1),
-                "unit": "sessions/s",
-                "vs_baseline": round(
-                    sessions_per_sec / NOMINAL_TF1_K80_SESSIONS_PER_SEC, 2
-                ),
-            }
-        )
-    )
+    result = {
+        "metric": "nar_train_sessions_per_sec_per_chip",
+        "value": round(sessions_per_sec, 1),
+        "unit": "sessions/s",
+        "vs_baseline": round(
+            sessions_per_sec / NOMINAL_TF1_K80_SESSIONS_PER_SEC, 2
+        ),
+    }
+    # MFU: XLA's FLOP count for the whole step ÷ measured step time ÷ the
+    # chip's bf16 peak.  This step is embedding/sort/state-update heavy, so
+    # MFU is intrinsically far below transformer-style figures — it tracks
+    # how much of each step the MXU pipelines are actually busy.
+    flops = _step_flops(programs.train_step, state, batches[0], ace, metadata)
+    peak = _peak_flops(jax.devices()[0])
+    step_time = elapsed / n_steps
+    if flops:
+        result["model_tflops_per_step"] = round(flops / 1e12, 3)
+        result["step_time_ms"] = round(step_time * 1e3, 2)
+    if flops and peak:
+        result["mfu"] = round(flops / step_time / peak, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--scaling", action="store_true",
+        help="weak-scaling benchmark at 1/2/4/8 devices instead of the "
+        "single-chip G1-scale throughput run",
+    )
+    if parser.parse_args().scaling:
+        scaling_main()
+    else:
+        main()

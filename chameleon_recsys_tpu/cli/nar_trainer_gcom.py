@@ -95,6 +95,11 @@ def create_args_parser():
     p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
     p.add_argument("--save_eval_sessions_recommendations", action="store_true")
     p.add_argument("--resume_checkpoint", default="")
+    # multi-chip: jit train/eval over a (data × model) mesh
+    # (parallel/sharded.py); 0 = single-device jax.jit.  data_parallelism
+    # must divide batch_size; data*model must equal the device count.
+    p.add_argument("--data_parallelism", type=int, default=0)
+    p.add_argument("--model_parallelism", type=int, default=1)
     # remote artifact sync (reference GCS workflow shape without the cloud
     # SDK: nar_trainer_gcom.py:79-80, 450-459, 527-556): a store root dir +
     # a path under it.  --warmup_model_dir downloads a previous run's
@@ -239,6 +244,21 @@ def main(argv=None):
     if not files:
         raise SystemExit(f"no session files match {args.train_set_path_regex}")
 
+    mesh_plan = None
+    if args.data_parallelism or args.model_parallelism > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh_plan = make_mesh(
+            data_parallelism=args.data_parallelism or None,
+            model_parallelism=args.model_parallelism,
+        )
+        logging.info(
+            "mesh: %d data x %d model over %d devices",
+            mesh_plan.data_parallelism,
+            mesh_plan.model_parallelism,
+            mesh_plan.data_parallelism * mesh_plan.model_parallelism,
+        )
+
     store = None
     if args.artifact_store_root:
         from ..utils.artifact_store import LocalArtifactStore
@@ -259,6 +279,7 @@ def main(argv=None):
         eval_cold_start=args.eval_cold_start,
         artifact_store=store if args.sync_artifacts_to else None,
         artifact_remote_path=args.sync_artifacts_to,
+        mesh_plan=mesh_plan,
     )
     resume_ckpt = args.resume_checkpoint
     if store is not None and args.warmup_model_dir and not resume_ckpt:

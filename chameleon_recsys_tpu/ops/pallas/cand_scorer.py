@@ -41,8 +41,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# (session, step) pairs per grid program; rows per program = _BT_TILE * K
-_BT_TILE = 8
+# (session, step) pairs per grid program; rows per program = tile * K.
+# The BACKWARD runs a smaller tile than the forward: its per-program live
+# set adds the f32 weight-gradient accumulators (dcar_w alone is C*C*4 =
+# 4 MB at C=1024) and the recomputed activation chain — at tile 8 that
+# overflows VMEM and Mosaic loses input double-buffering.  Tile 4 halves
+# the streamed blocks/intermediates and keeps the pipeline overlapped.
+_BT_TILE = 8          # forward (and the model's divisibility gate, via LCM)
+_BT_TILE_BWD = 4
 
 
 def _leaky(x, alpha):
@@ -180,14 +186,14 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     ).astype(du_ref.dtype)
 
 
-def _specs(bt_total, k, c, m1, m2, m3):
-    row_block = _BT_TILE * k
+def _specs(bt_total, k, c, m1, m2, m3, tile=_BT_TILE):
+    row_block = tile * k
     return [
         pl.BlockSpec((row_block, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),          # i_rows
-        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+        pl.BlockSpec((tile, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),          # u_pre
-        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+        pl.BlockSpec((tile, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),          # pred
         pl.BlockSpec((c, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -255,8 +261,9 @@ def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
 def _bwd_vjp(alpha, interpret, res, g):
     (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
-    n_tiles = bt_total // _BT_TILE
-    row_block = _BT_TILE * k
+    tile = _BT_TILE_BWD if bt_total % _BT_TILE_BWD == 0 else _BT_TILE
+    n_tiles = bt_total // tile
+    row_block = tile * k
     out_shapes = (
         jax.ShapeDtypeStruct(i_rows.shape, i_rows.dtype),      # di
         jax.ShapeDtypeStruct(u_pre.shape, u_pre.dtype),        # du
@@ -275,9 +282,9 @@ def _bwd_vjp(alpha, interpret, res, g):
     out_specs = (
         pl.BlockSpec((row_block, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+        pl.BlockSpec((tile, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((_BT_TILE, c), lambda i: (i, 0),
+        pl.BlockSpec((tile, c), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         # weight grads: every program maps to the SAME block — the TPU grid
         # runs sequentially, so the block persists and accumulates
@@ -291,8 +298,8 @@ def _bwd_vjp(alpha, interpret, res, g):
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
     )
-    in_specs = _specs(bt_total, k, c, m1, m2, m3) + [
-        pl.BlockSpec((_BT_TILE * k, 1), lambda i: (i, 0),
+    in_specs = _specs(bt_total, k, c, m1, m2, m3, tile=tile) + [
+        pl.BlockSpec((row_block, 1), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),                 # g [N, 1]
     ]
     (di, du, dp, dcw, dcb, dw1, db1, dw2, db2, dw3, db3, dw4) = pl.pallas_call(

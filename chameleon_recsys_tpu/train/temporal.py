@@ -39,6 +39,16 @@ from .steps import NARTrainState, build_nar_train, nar_init_state
 log = logging.getLogger("chameleon_tpu.temporal")
 
 
+def _local_rows(x) -> np.ndarray:
+    """Host-local rows of a (possibly multi-host global) jax array."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 @dataclass
 class BenchmarkSpec:
     recommender: type
@@ -74,12 +84,25 @@ class TemporalHarness:
         eval_cold_start: bool = False,
         artifact_store=None,
         artifact_remote_path: str = "",
+        mesh_plan=None,
+        mesh_min_rows: int = 4096,
     ):
         # Remote artifact sync seam (reference GCS workflow shape,
         # gcs_utils.py:22-109): every export also uploads model_dir to the
         # store.  None = plain local files only.
         self.artifact_store = artifact_store
         self.artifact_remote_path = artifact_remote_path
+        # Multi-chip production path: with a MeshPlan, train/eval steps are
+        # re-jitted with explicit (data × model) shardings
+        # (parallel/sharded.py) and batches are placed data-parallel.
+        self.mesh_plan = mesh_plan
+        self.mesh_min_rows = mesh_min_rows
+        self._sharded = None
+        if mesh_plan is not None and cfg.batch_size % mesh_plan.data_parallelism:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} not divisible by "
+                f"data_parallelism {mesh_plan.data_parallelism}"
+            )
         self.cfg = cfg
         self.run_cfg = run_cfg
         self.session_schema = session_schema
@@ -158,6 +181,57 @@ class TemporalHarness:
             self.metadata,
             seed=self.run_cfg.random_seed,
         )
+        self._install_mesh(example_batch)
+
+    def _install_mesh(self, example_batch):
+        """Build the sharded step programs and move state/aux onto the mesh."""
+        if self.mesh_plan is None or self._sharded is not None:
+            return
+        from ..parallel.sharded import shard_nar_programs
+
+        pc = jax.process_count()
+
+        def global_struct(v):
+            a = np.asarray(v)
+            # each process collates 1/pc of the global batch rows
+            return jax.ShapeDtypeStruct((a.shape[0] * pc,) + a.shape[1:], a.dtype)
+
+        example = {k: global_struct(v) for k, v in example_batch.items()}
+        self._sharded = shard_nar_programs(
+            self.programs,
+            self.mesh_plan,
+            self.state,
+            example,
+            self.ace_matrix,
+            self.metadata,
+            min_rows=self.mesh_min_rows,
+        )
+        self.state = jax.device_put(self.state, self._sharded.state_sharding)
+        self.ace_matrix = jax.device_put(
+            self.ace_matrix, self._sharded.ace_sharding
+        )
+        self.metadata = jax.device_put(
+            self.metadata, self._sharded.metadata_sharding
+        )
+
+    @property
+    def _train_step(self):
+        return (
+            self._sharded.train_step if self._sharded else self.programs.train_step
+        )
+
+    @property
+    def _eval_step(self):
+        return (
+            self._sharded.eval_step if self._sharded else self.programs.eval_step
+        )
+
+    def _put_batch(self, np_batch):
+        if self._sharded is None:
+            return {k: jnp.asarray(v) for k, v in np_batch.items()}
+        from ..parallel.sharded import put_batch
+
+        return put_batch(self._sharded, np_batch)
 
     def _batches(self, source):
         """Batch iterator over an hour's data.  ``source`` is either a
@@ -165,14 +239,21 @@ class TemporalHarness:
         ``batches(batch_size, max_session_length)`` — e.g. the C++
         NativeSessionLoader (native/loader.py), which parses and collates
         TFRecords off the Python heap entirely."""
+        batch_size = self.cfg.batch_size
+        if self.mesh_plan is not None and jax.process_count() > 1:
+            # each host collates its round-robin session shard into its
+            # rows of the global batch (parallel/distributed.py)
+            batch_size //= jax.process_count()
+            if not hasattr(source, "batches"):
+                from ..parallel.distributed import shard_sessions_for_process
+
+                source = shard_sessions_for_process(source)
         if hasattr(source, "batches"):
-            return source.batches(
-                self.cfg.batch_size, self.cfg.max_session_length
-            )
+            return source.batches(batch_size, self.cfg.max_session_length)
         return batches_from_sessions(
             source,
             self.session_schema,
-            self.cfg.batch_size,
+            batch_size,
             self.cfg.max_session_length,
         )
 
@@ -186,8 +267,8 @@ class TemporalHarness:
         n_steps, losses = 0, []
         self.train_meter.start()
         for np_batch in self._batches(sessions):
-            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-            self.state, metrics = self.programs.train_step(
+            batch = self._put_batch(np_batch)
+            self.state, metrics = self._train_step(
                 self.state, batch, self.ace_matrix, self.metadata
             )
             # keep the device scalar — converting here would sync every step
@@ -220,8 +301,10 @@ class TemporalHarness:
         nonzero.discard(0)
         self.host_state.update_items_first_click_step(np.array(sorted(nonzero)))
 
-    def _train_host_side(self, np_batch):
+    def _train_host_side(self, np_batch, force_refresh: bool = False):
         if not self.bench_classifiers and not self.eval_cold_start:
+            if force_refresh:
+                self._refresh_state_view()
             return
         clicked = np_batch["item_clicked"]
         all_clicked = np.concatenate(
@@ -262,10 +345,14 @@ class TemporalHarness:
         sessions_count = clicks_count = 0
         t_start = time.time()
 
+        # NOTE on view freshness: the pre-loop refresh above plus the
+        # per-batch refresh inside _train_host_side keep self._state_view at
+        # "state before the current batch" (before_run semantics,
+        # nar_model.py:1434-1470) without an extra device→host sync of the
+        # three [num_items] state arrays per eval batch.
         for np_batch in self._batches(sessions):
-            batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
-            self._refresh_state_view()  # pre-batch state, like before_run
-            self.state, dev_metrics, fetches = self.programs.eval_step(
+            batch = self._put_batch(np_batch)
+            self.state, dev_metrics, fetches = self._eval_step(
                 self.state, batch, self.ace_matrix, self.metadata
             )
             hit_sum += float(dev_metrics["hit_sum"])
@@ -274,11 +361,14 @@ class TemporalHarness:
             clicks_count += int(dev_metrics["clicks"])
             sessions_count += int(dev_metrics["sessions"])
 
-            preds = np.asarray(fetches["predicted_ids"])
-            probs = np.asarray(fetches["predicted_probs"])
-            labels = np.asarray(fetches["labels"])
-            neg_items = np.asarray(fetches["neg_items"])
-            clicked = np.asarray(fetches["clicked_items"])
+            # Multi-host: fetches are global arrays; each process reads back
+            # its own addressable rows (matching its np_batch rows) and runs
+            # the host-side metric tier on them.  Single-process: plain copy.
+            preds = _local_rows(fetches["predicted_ids"])
+            probs = _local_rows(fetches["predicted_probs"])
+            labels = _local_rows(fetches["labels"])
+            neg_items = _local_rows(fetches["neg_items"])
+            clicked = _local_rows(fetches["clicked_items"])
             pop_norm = self._state_view.get_articles_recent_pop_norm()
 
             update_metrics(
@@ -306,7 +396,9 @@ class TemporalHarness:
             self._register_batch_clicks(np_batch)
             if self.eval_cold_start:
                 self._update_cold_start(np_batch, labels, neg_items, preds)
-            self._train_host_side(np_batch)
+            # force_refresh: the eval metric tier needs the view advanced to
+            # this batch's post-step state even when no benchmarks run
+            self._train_host_side(np_batch, force_refresh=True)
 
         row: Dict[str, float] = {
             "hitrate_at_n": hit_sum / max(label_count, 1.0),
@@ -530,6 +622,8 @@ class TemporalHarness:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.state
         )
         self.state = ckptr.restore(dir_path / "device_state", abstract)
+        if self._sharded is not None:
+            self.state = jax.device_put(self.state, self._sharded.state_sharding)
         payload = deserialize(dir_path / "host_state.pkl")
         self.hours_trained = payload["hours_trained"]
         self.evals_done = payload.get("evals_done", len(payload["metrics_log"]))
@@ -548,6 +642,8 @@ class TemporalHarness:
         path = Path(path or Path(self.run_cfg.model_dir) / "checkpoint.pkl")
         payload = deserialize(path)
         self.state = jax.tree_util.tree_map(jnp.asarray, payload["state"])
+        if self._sharded is not None:
+            self.state = jax.device_put(self.state, self._sharded.state_sharding)
         self.hours_trained = payload["hours_trained"]
         self.evals_done = payload.get("evals_done", len(payload["metrics_log"]))
         self.artifacts.eval_sessions_metrics_log = payload["metrics_log"]

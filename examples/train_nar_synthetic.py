@@ -32,10 +32,15 @@ def main():
     parser.add_argument("--top_n", type=int, default=10)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--stream", default="markov",
-                        choices=["markov", "contextual"],
+                        choices=["markov", "contextual", "churn"],
                         help="markov: item->item transitions; contextual: "
                              "(item, device)->item transitions that counting "
-                             "baselines cannot separate")
+                             "baselines cannot separate; churn: news-like "
+                             "article churn + category-correlated ACEs — "
+                             "the item cold-start regime where content/"
+                             "recency generalization beats counting")
+    parser.add_argument("--item_lifetime_hours", type=float, default=4.0)
+    parser.add_argument("--category_signal", type=float, default=0.8)
     args = parser.parse_args()
 
     if args.platform:
@@ -57,9 +62,12 @@ def main():
         RunConfig,
         SessionFeaturesSchema,
     )
+    from chameleon_recsys_tpu.baselines import ContentBasedRecommender
     from chameleon_recsys_tpu.data.synthetic import (
+        make_churn_corpus,
         make_synthetic_corpus,
         make_transition_graph,
+        synthetic_churn_hour_sessions,
         synthetic_contextual_hour_sessions,
         synthetic_markov_hour_sessions,
     )
@@ -103,22 +111,35 @@ def main():
         max_session_length=12,
         metrics_top_n=args.top_n,
     )
-    corpus = make_synthetic_corpus(art, ace_dim=64)
+    if args.stream == "churn":
+        corpus = make_churn_corpus(
+            art, ace_dim=64, stream_hours=args.hours,
+            item_lifetime_hours=args.item_lifetime_hours,
+            category_signal=args.category_signal,
+        )
+    else:
+        corpus = make_synthetic_corpus(art, ace_dim=64)
     graph = make_transition_graph(num_items)
     run_cfg = RunConfig(
         model_dir=tempfile.mkdtemp(prefix="chameleon_demo_"),
         training_hours_for_each_eval=args.eval_every,
     )
+    benchmarks = [
+        BenchmarkSpec(RecentlyPopularRecommender, {}),
+        BenchmarkSpec(ItemCooccurrenceRecommender, {}),
+        BenchmarkSpec(
+            SequentialRulesRecommender,
+            {"max_clicks_dist": 10, "dist_between_clicks_decay": "div"},
+        ),
+    ]
+    if args.stream == "churn":
+        benchmarks.append(BenchmarkSpec(
+            ContentBasedRecommender,
+            {"content_article_embeddings_matrix": corpus.ace_matrix},
+        ))
     harness = TemporalHarness(
         cfg, run_cfg, sess, art, corpus.ace_matrix, corpus.metadata,
-        benchmarks=[
-            BenchmarkSpec(RecentlyPopularRecommender, {}),
-            BenchmarkSpec(ItemCooccurrenceRecommender, {}),
-            BenchmarkSpec(
-                SequentialRulesRecommender,
-                {"max_clicks_dist": 10, "dist_between_clicks_decay": "div"},
-            ),
-        ],
+        benchmarks=benchmarks,
     )
 
     def hour_source(h):
@@ -128,22 +149,31 @@ def main():
                 successors_per_context=5,
                 max_session_length=cfg.max_session_length,
             )
+        if args.stream == "churn":
+            return synthetic_churn_hour_sessions(
+                corpus, sess, h, args.sessions_per_hour,
+                item_lifetime_hours=args.item_lifetime_hours,
+                max_session_length=cfg.max_session_length,
+            )
         return synthetic_markov_hour_sessions(
             corpus, sess, graph, h, args.sessions_per_hour,
             cfg.max_session_length,
         )
 
     rows = harness.run(hour_source, hours=range(args.hours))
-    print("\n=== per-eval-hour accuracy (HR@10 / MRR@10) ===")
+    print(f"\n=== per-eval-hour accuracy (HR@{args.top_n} / MRR@{args.top_n}) ===")
     for i, row in enumerate(rows):
-        print(
+        line = (
             f"eval {i}: chameleon {row['hitrate_at_n_chameleon']:.4f}/"
             f"{row['mrr_at_n_chameleon']:.4f} | pop "
             f"{row.get('hitrate_at_n_pop_recent', float('nan')):.4f} | cooc "
             f"{row.get('hitrate_at_n_coocurrent', float('nan')):.4f} | sr "
-            f"{row.get('hitrate_at_n_sr', float('nan')):.4f} | "
-            f"{row.get('train_sessions_per_s', 0):.0f} sess/s"
+            f"{row.get('hitrate_at_n_sr', float('nan')):.4f}"
         )
+        if "hitrate_at_n_cb" in row:
+            line += f" | cb {row['hitrate_at_n_cb']:.4f}"
+        line += f" | {row.get('train_sessions_per_s', 0):.0f} sess/s"
+        print(line)
     harness.export_artifacts()
     print("artifacts:", run_cfg.model_dir)
 

@@ -40,3 +40,155 @@ def test_mesh_shardings_rules():
     batch = {"item_clicked": jnp.zeros((8, 4), jnp.int32)}
     bsh = batch_sharding(plan, batch)
     assert bsh["item_clicked"].spec[0] == "data"
+
+
+# ---------------------------------------------------------------------------
+# Numerical equivalence: the SAME batch sequence on one device and on a
+# 4×2 (data × model) mesh, through the production TemporalHarness path.
+# ---------------------------------------------------------------------------
+
+def _equivalence_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from conftest import tiny_article_schema, tiny_nar_config, tiny_session_schema
+    from chameleon_recsys_tpu.config import RunConfig
+    from chameleon_recsys_tpu.data.synthetic import (
+        make_synthetic_corpus,
+        synthetic_hour_sessions,
+    )
+    from chameleon_recsys_tpu.parallel.mesh import make_mesh
+    from chameleon_recsys_tpu.train.temporal import TemporalHarness
+
+    cfg = tiny_nar_config(batch_size=8, max_session_length=6)
+    art = tiny_article_schema(256)
+    sess = tiny_session_schema(256)
+    corpus = make_synthetic_corpus(art, ace_dim=8)
+
+    def hour_source(h):
+        return synthetic_hour_sessions(
+            corpus, sess, h, num_sessions=16,
+            max_session_length=cfg.max_session_length,
+        )
+
+    def build(mesh_plan, tmpdir="/tmp/chameleon_equiv"):
+        return TemporalHarness(
+            cfg,
+            RunConfig(model_dir=tmpdir, training_hours_for_each_eval=2),
+            sess, art, corpus.ace_matrix, corpus.metadata,
+            mesh_plan=mesh_plan, mesh_min_rows=64,
+        )
+
+    plan = make_mesh(
+        data_parallelism=4, model_parallelism=2, devices=jax.devices()[:8]
+    )
+    return build, plan, hour_source
+
+
+def test_single_vs_mesh_first_step_exact():
+    """Forward loss of the very first step is bit-equal; the first step's
+    Adam moments (= bias-scaled gradients) match at float tolerance.
+    Trained PARAMS are compared loosely: Adam's first update is ~lr·sign(g),
+    which amplifies last-bit reduction-order noise on near-zero gradient
+    elements — that is intrinsic to (Adam × non-associative float sums),
+    not a sharding bug (the moments check is the rigorous one)."""
+    import jax
+    import jax.numpy as jnp
+
+    build, plan, hour_source = _equivalence_setup()
+    h1, h2 = build(None), build(plan)
+    sessions = hour_source(0)[:8]  # exactly ONE step on each path
+    h1.train_hour(sessions)
+    h2.train_hour(sessions)
+
+    mu1 = h1.state.opt_state[0].mu
+    mu2 = h2.state.opt_state[0].mu
+    moment_diff = max(
+        jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), mu1, mu2
+            )
+        )
+    )
+    assert moment_diff < 1e-4, moment_diff
+
+
+def test_single_vs_mesh_stream_state_identical():
+    """The integer streaming state (buffer ids/timestamps, popularity
+    counters, step) must be EXACTLY equal across the paths after multiple
+    hours — the replicated-stream-state determinism claim, asserted."""
+    build, plan, hour_source = _equivalence_setup()
+    h1, h2 = build(None), build(plan)
+    for h in range(2):
+        h1.train_hour(hour_source(h))
+        h2.train_hour(hour_source(h))
+    for field in ("buffer_ids", "buffer_ts", "recent_pop", "global_pop"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h1.state.stream, field)),
+            np.asarray(getattr(h2.state.stream, field)),
+            err_msg=field,
+        )
+    assert int(h1.state.stream.current_step) == int(h2.state.stream.current_step)
+
+
+def test_single_vs_mesh_losses_and_eval():
+    """Loss trajectory and full harness eval (device HR/MRR + streaming
+    metric tier + benchmarks skipped) agree within the documented Adam-noise
+    envelope over two train hours + one eval hour."""
+    build, plan, hour_source = _equivalence_setup()
+    h1, h2 = build(None), build(plan)
+    for h in range(2):
+        s1 = h1.train_hour(hour_source(h))
+        s2 = h2.train_hour(hour_source(h))
+        assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=2e-2)
+
+    r1 = h1.evaluate_hour(hour_source(2))
+    r2 = h2.evaluate_hour(hour_source(2))
+    assert r1["hitrate_at_n"] == pytest.approx(r2["hitrate_at_n"], abs=0.15)
+    assert r1["mrr_at_n"] == pytest.approx(r2["mrr_at_n"], abs=0.15)
+    # device and host metric tiers agree WITHIN each path (the cross-check)
+    for r in (r1, r2):
+        assert r["hitrate_at_n"] == pytest.approx(r["hitrate_at_n_chameleon"])
+
+
+def test_mesh_eval_exact_given_same_params():
+    """Eval is forward-only: with identical params/state the sharded eval
+    step must reproduce the single-device ranking probabilities."""
+    import jax
+
+    build, plan, hour_source = _equivalence_setup()
+    h1, h2 = build(None), build(plan)
+    sessions = hour_source(0)
+    h1.train_hour(sessions)
+    h2.train_hour(sessions)
+    # overwrite the mesh harness's state with the single-path state; deep
+    # copy first — device_put may alias per-device shards to the source
+    # buffers, and h1's subsequent eval_step DONATES its state
+    fresh = jax.tree_util.tree_map(lambda x: x.copy(), h1.state)
+    h2.state = jax.device_put(fresh, h2._sharded.state_sharding)
+
+    r1 = h1.evaluate_hour(hour_source(1))
+    r2 = h2.evaluate_hour(hour_source(1))
+    assert r1["hitrate_at_n"] == pytest.approx(r2["hitrate_at_n"], abs=1e-6)
+    assert r1["mrr_at_n"] == pytest.approx(r2["mrr_at_n"], abs=1e-3)
+
+
+def test_mesh_checkpoint_resume_reshards():
+    """load_checkpoint under a mesh re-places the restored state with the
+    sharded layout and training continues."""
+    import tempfile
+
+    build, plan, hour_source = _equivalence_setup()
+    h1 = build(plan)
+    h1.train_hour(hour_source(0))
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = h1.save_checkpoint(d + "/ckpt.pkl")
+        h2 = build(plan)
+        h2.train_hour(hour_source(0))  # initialize mesh + programs
+        h2.load_checkpoint(ckpt)
+        stats = h2.train_hour(hour_source(1))
+        assert np.isfinite(stats["avg_ce_loss"])
+        np.testing.assert_array_equal(
+            np.asarray(h2.state.stream.buffer_ids).shape,
+            np.asarray(h1.state.stream.buffer_ids).shape,
+        )
