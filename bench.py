@@ -50,6 +50,66 @@ def _step_flops(jitted, *args) -> float:
         return 0.0
 
 
+def _traced_step_seconds(run_steps, n_steps: int) -> float:
+    """Device-side per-step execution time from a JAX profiler trace.
+
+    Wall-clock through a remote-dispatch backend (the tunneled dev
+    environment) measures per-dispatch RPC latency — tens of ms — rather
+    than the chip, and `block_until_ready` there returns before execution
+    finishes.  The profiler's device timeline records what the hardware
+    actually did, so the per-step figure comes from the summed durations of
+    the step's device events.  ``run_steps`` must execute exactly
+    ``n_steps`` compiled steps and end with a host fetch (so everything has
+    completed before the trace stops).  Returns 0.0 if the trace cannot be
+    captured or parsed (then the caller falls back to wall clock).
+    """
+    import collections
+    import glob as globmod
+    import gzip
+    import json as jsonmod
+    import tempfile
+
+    try:
+        import jax
+
+        with tempfile.TemporaryDirectory() as td:
+            jax.profiler.start_trace(td)
+            try:
+                run_steps()
+            finally:
+                jax.profiler.stop_trace()
+            paths = globmod.glob(td + "/**/*.trace.json.gz", recursive=True)
+            if not paths:
+                return 0.0
+            with gzip.open(paths[0]) as f:
+                data = jsonmod.load(f)
+            events = data.get("traceEvents", [])
+            pids = {
+                e["pid"]: e.get("args", {}).get("name", "")
+                for e in events
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+            }
+            device_pids = {
+                p for p, name in pids.items() if name.startswith("/device:")
+            }
+            totals = collections.defaultdict(float)
+            for e in events:
+                if (
+                    e.get("ph") == "X"
+                    and e.get("pid") in device_pids
+                    and str(e.get("name", "")).startswith("jit")
+                ):
+                    totals[e["name"]] += float(e.get("dur", 0.0))
+            if not totals:
+                return 0.0
+            # the step program dominates; smaller jit events (host fetches)
+            # are filtered by taking the largest total
+            total_us = max(totals.values())
+            return total_us / 1e6 / n_steps
+    except Exception:
+        return 0.0
+
+
 def scaling_main():
     """--scaling: weak-scaling sessions/s at 1/2/4/8 devices through the
     sharded production programs (parallel/sharded.py).
@@ -174,14 +234,14 @@ def scaling_main():
 
         for b in batches[:2]:  # compile + warm buffer
             state, metrics = sharded.train_step(state, b, ace_d, meta_d)
-        jax.block_until_ready(metrics["loss"])
+        np.asarray(metrics["loss"])  # host fetch: guaranteed completion
         n_steps = 20
         t0 = time.perf_counter()
         for i in range(n_steps):
             state, metrics = sharded.train_step(
                 state, batches[i % len(batches)], ace_d, meta_d
             )
-        jax.block_until_ready(metrics["loss"])
+        np.asarray(metrics["loss"])
         throughputs[n_dev] = cfg.batch_size * n_steps / (
             time.perf_counter() - t0
         )
@@ -303,10 +363,12 @@ def main():
         cfg, session_schema, article_schema, batches[0], ace, metadata
     )
 
-    # warmup: compile + populate the buffer
+    # warmup: compile + populate the buffer (np.asarray is a host fetch —
+    # unlike block_until_ready it is guaranteed to wait for execution even
+    # on remote-dispatch backends)
     for b in batches[:2]:
         state, metrics = programs.train_step(state, b, ace, metadata)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])
 
     n_steps = 30
     t0 = time.perf_counter()
@@ -314,10 +376,30 @@ def main():
         state, metrics = programs.train_step(
             state, batches[i % len(batches)], ace, metadata
         )
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])
     elapsed = time.perf_counter() - t0
+    wall_step = elapsed / n_steps
 
-    sessions_per_sec = cfg.batch_size * n_steps / elapsed
+    # ground truth: device-side step time from a profiler trace (wall clock
+    # through the tunneled dev backend measures RPC latency, not the chip)
+    n_trace = 10
+    trace_state = state
+
+    def _run_traced():
+        s = trace_state
+        for i in range(n_trace):
+            s, m = programs.train_step(s, batches[i % len(batches)], ace, metadata)
+        np.asarray(m["loss"])
+
+    device_step = _traced_step_seconds(_run_traced, n_trace)
+    if device_step:
+        step_time_s = device_step
+        timing_source = "device_trace"
+    else:
+        step_time_s = wall_step
+        timing_source = "wall_clock"
+
+    sessions_per_sec = cfg.batch_size / step_time_s
     result = {
         "metric": "nar_train_sessions_per_sec_per_chip",
         "value": round(sessions_per_sec, 1),
@@ -325,6 +407,8 @@ def main():
         "vs_baseline": round(
             sessions_per_sec / NOMINAL_TF1_K80_SESSIONS_PER_SEC, 2
         ),
+        "timing_source": timing_source,
+        "wall_clock_sessions_per_sec": round(cfg.batch_size / wall_step, 1),
     }
     # MFU: XLA's FLOP count for the whole step ÷ measured step time ÷ the
     # chip's bf16 peak.  This step is embedding/sort/state-update heavy, so
@@ -332,12 +416,11 @@ def main():
     # how much of each step the MXU pipelines are actually busy.
     flops = _step_flops(programs.train_step, state, batches[0], ace, metadata)
     peak = _peak_flops(jax.devices()[0])
-    step_time = elapsed / n_steps
     if flops:
         result["model_tflops_per_step"] = round(flops / 1e12, 3)
-        result["step_time_ms"] = round(step_time * 1e3, 2)
+        result["step_time_ms"] = round(step_time_s * 1e3, 2)
     if flops and peak:
-        result["mfu"] = round(flops / step_time / peak, 4)
+        result["mfu"] = round(flops / step_time_s / peak, 4)
     print(json.dumps(result))
 
 

@@ -65,6 +65,11 @@ def main(argv=None):
     p.add_argument("--disable_eval_benchmarks", action="store_true")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
+    # multi-chip: jit train/eval over a (data × model) mesh
+    # (parallel/sharded.py); 0 = single-device jax.jit.  Same contract as
+    # cli/nar_trainer_gcom.py.
+    p.add_argument("--data_parallelism", type=int, default=0)
+    p.add_argument("--model_parallelism", type=int, default=1)
     args = p.parse_args(argv)
     if getattr(args, "platform", ""):
         import jax
@@ -149,9 +154,25 @@ def main(argv=None):
     if not files:
         raise SystemExit(f"no session files match {args.train_set_path_regex}")
 
+    mesh_plan = None
+    if args.data_parallelism or args.model_parallelism > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh_plan = make_mesh(
+            data_parallelism=args.data_parallelism or None,
+            model_parallelism=args.model_parallelism,
+        )
+        logging.info(
+            "mesh: %d data x %d model over %d devices",
+            mesh_plan.data_parallelism,
+            mesh_plan.model_parallelism,
+            mesh_plan.data_parallelism * mesh_plan.model_parallelism,
+        )
+
     harness = TemporalHarness(
         cfg, run_cfg, session_schema, article_schema, ace, metadata,
         benchmarks=() if args.disable_eval_benchmarks else default_benchmarks(ace),
+        mesh_plan=mesh_plan,
     )
 
     def hour_source(hour_idx):

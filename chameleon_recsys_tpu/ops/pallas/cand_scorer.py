@@ -42,13 +42,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # (session, step) pairs per grid program; rows per program = tile * K.
-# The BACKWARD runs a smaller tile than the forward: its per-program live
-# set adds the f32 weight-gradient accumulators (dcar_w alone is C*C*4 =
-# 4 MB at C=1024) and the recomputed activation chain — at tile 8 that
-# overflows VMEM and Mosaic loses input double-buffering.  Tile 4 halves
-# the streamed blocks/intermediates and keeps the pipeline overlapped.
+# Mosaic requires the second-to-last block dim to be a multiple of 8 (the
+# sublane width) unless it equals the array dim, so for the [BT, C]-blocked
+# operands (u_pre, pred, du, dp) the tile cannot go below 8 — a tile-4
+# backward lowers fine in interpret mode but is rejected on real TPU.
+# Shrinking the backward's live set therefore has to come from in-kernel
+# rematerialization order / kernel splits, not smaller tiles.
 _BT_TILE = 8          # forward (and the model's divisibility gate, via LCM)
-_BT_TILE_BWD = 4
+_BT_TILE_BWD = 8      # must stay a multiple of 8 (sublane constraint)
 
 
 def _leaky(x, alpha):
@@ -261,7 +262,11 @@ def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
 def _bwd_vjp(alpha, interpret, res, g):
     (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
-    tile = _BT_TILE_BWD if bt_total % _BT_TILE_BWD == 0 else _BT_TILE
+    tile = (
+        _BT_TILE_BWD
+        if _BT_TILE_BWD % 8 == 0 and bt_total % _BT_TILE_BWD == 0
+        else _BT_TILE
+    )
     n_tiles = bt_total // tile
     row_block = tile * k
     out_shapes = (

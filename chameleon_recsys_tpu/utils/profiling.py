@@ -61,6 +61,72 @@ class ThroughputMeter:
         self._t0 = None
 
 
+def device_op_totals(trace_dir: str) -> Dict[str, float]:
+    """Parse a JAX profiler trace dir → {device event name: total ms}.
+
+    Only device-timeline complete events are counted (process names starting
+    with ``/device:``), so the result reflects what the hardware executed —
+    immune to host dispatch latency.  Through a remote-dispatch backend
+    (e.g. a tunneled dev TPU) wall-clock timing measures per-call RPC
+    latency and ``block_until_ready`` can return early, so trace-derived
+    device times are the only trustworthy per-op numbers there.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return {}
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, name in pids.items() if name.startswith("/device:")}
+    totals: Dict[str, float] = collections.defaultdict(float)
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            totals[str(e.get("name", ""))] += float(e.get("dur", 0.0)) / 1e3
+    return dict(totals)
+
+
+def device_time_ms(fn, args, iters: int = 10) -> float:
+    """Per-call device execution time of a jitted ``fn(*args)`` in ms,
+    measured from the profiler's device timeline (see device_op_totals).
+
+    Compiles/warms up first, traces ``iters`` calls ending with a host
+    fetch (which, unlike block_until_ready, is guaranteed to wait), and
+    returns the largest per-name ``jit*`` total divided by ``iters`` — the
+    top-level program events; nested per-op events have other names.
+    Returns 0.0 if no device events were captured (e.g. CPU backend).
+    """
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warmup + compile
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        try:
+            for _ in range(iters):
+                out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        finally:
+            jax.profiler.stop_trace()
+        totals = device_op_totals(td)
+    jit_totals = [v for k, v in totals.items() if k.startswith("jit")]
+    if not jit_totals:
+        return 0.0
+    return max(jit_totals) / iters
+
+
 @contextlib.contextmanager
 def xla_trace(log_dir: str, enabled: bool = True):
     """JAX profiler trace (the ProfilerHook equivalent; view with

@@ -44,13 +44,11 @@ def make_inputs(rng):
 
 
 def time_fn(fn, args, n=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    """Device-trace timing: wall clock through the tunneled backend measures
+    RPC latency, not the chip (utils/profiling.py::device_time_ms)."""
+    from chameleon_recsys_tpu.utils.profiling import device_time_ms
+
+    return device_time_ms(fn, args, iters=n)
 
 
 def main():
@@ -66,13 +64,14 @@ def main():
     grad = jax.grad(loss, argnums=tuple(range(12)))
 
     fwd_j = jax.jit(fwd)
-    print(f"forward (tile {cs._BT_TILE}): {time_fn(fwd_j, args):.2f} ms")
+    print(f"forward (tile {cs._BT_TILE}): {time_fn(fwd_j, args):.2f} ms", flush=True)
 
-    for tile in (8, 4, 2):
+    # sublane constraint: backward tiles must be multiples of 8
+    for tile in (8, 16):
         cs._BT_TILE_BWD = tile
         g = jax.jit(grad)
         ms = time_fn(g, args)
-        print(f"fwd+bwd tile_bwd={tile}: {ms:.2f} ms")
+        print(f"fwd+bwd tile_bwd={tile}: {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -164,6 +164,9 @@ def test_adressa_chain(raw, tmp_path):
             "--recent_clicks_for_normalization", "32",
             "--compute_dtype", "float32",
             "--disable_eval_benchmarks",
+            # exercise the (data × model) mesh path on the virtual devices
+            "--data_parallelism", "4",
+            "--model_parallelism", "2",
         ]
     )
     assert (model_dir / "eval_stats_benchmarks.csv").exists()
