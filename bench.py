@@ -342,6 +342,12 @@ def main():
         # (cfg.use_pallas_rnn) stays off: throughput-neutral at this config
         # (the RNN is a small slice of the step) and adds compile time.
         use_pallas_scorer=True,
+        # approx_max_k instead of a full variadic sort for the per-click
+        # candidate selection: the selection keys are i.i.d. uniforms, so a
+        # recall<1 top-k is still an exact uniform draw (a near-boundary
+        # candidate is swapped for another equally-random one) — the
+        # sampler's sort is ~4 ms of the step (ops/sampling.py:134-144)
+        approx_negative_topk=True,
     )
 
     corpus = make_synthetic_corpus(article_schema, ace_dim=250)

@@ -62,16 +62,68 @@ def _dleaky(x, alpha):
     return jnp.where(x.astype(jnp.float32) > 0, 1.0, alpha)
 
 
+def _dot_tl(a, b):
+    """aᵀ @ b as a dim-0 contraction — no materialized transpose.
+
+    Inside a Mosaic kernel an explicit ``x.T`` is a real VPU shuffle (for
+    the [C, C] CAR weight it is a 1M-element transpose PER grid program);
+    expressing the same product as a dot_general contraction lets the MXU
+    load the operand transposed for free.
+    """
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _dot_tr(a, b):
+    """a @ bᵀ as a dim-1/dim-1 contraction (see _dot_tl)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _seg_matrix(bt, k, dtype):
+    """0/1 segment matrix S [bt, bt*k]: S[b, r] = 1 iff r // k == b.
+
+    The per-(session, step) broadcast (u/pred → candidate rows) and the
+    k-segment reductions (du/dp) are awkward on the VPU — k=50 segments are
+    not sublane-aligned, so Mosaic lowers them to long shuffle/shift chains
+    that serialize with the MXU.  Expressed as matmuls against S they are
+    ~6.5 MFLOP each (noise for the MXU) and leave the VPU free.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * k), 1) // k
+    c = jax.lax.broadcasted_iota(jnp.int32, (bt, bt * k), 0)
+    return (r == c).astype(dtype)
+
+
+def _seg_broadcast_f32(seg, x):
+    """[bt, C] → [bt*k, C] row replication as Sᵀ @ x (one term per row),
+    f32 result (Mosaic requires a 32-bit matmul acc)."""
+    return jax.lax.dot_general(
+        seg, x, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
+def _seg_broadcast(seg, x):
+    """As _seg_broadcast_f32 but cast back to x.dtype (exact: one 0/1 term
+    per output element)."""
+    return _seg_broadcast_f32(seg, x).astype(x.dtype)
+
+
+def _seg_reduce(seg, x):
+    """[bt*k, C] → [bt, C] per-segment sum as S @ x (f32 accumulation)."""
+    return jax.lax.dot_general(
+        seg, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
                 w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, out_ref, *, k,
                 alpha):
     bt = u_ref.shape[0]
-    c = u_ref.shape[1]
-    rows = bt * k
-    u_rep = jnp.broadcast_to(u_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
-    p_rep = jnp.broadcast_to(p_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
-
     d = i_ref.dtype
+    seg = _seg_matrix(bt, k, d)
+    # u_rep stays in the f32 the MXU accumulated — the add below runs in
+    # f32 either way and skipping the bf16 round-trip saves a VPU pass
+    u_rep = _seg_broadcast_f32(seg, u_ref[:])
+    p_rep = _seg_broadcast(seg, p_ref[:])
+
     pre = _leaky(i_ref[:] + u_rep, alpha).astype(d)
     nc = jnp.tanh(
         jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
@@ -117,11 +169,12 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
         db3_ref[:] = jnp.zeros_like(db3_ref)
         dw4_ref[:] = jnp.zeros_like(dw4_ref)
 
-    u_rep = jnp.broadcast_to(u_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
-    p_rep = jnp.broadcast_to(p_ref[:][:, None, :], (bt, k, c)).reshape(rows, c)
+    d = i_ref.dtype
+    seg = _seg_matrix(bt, k, d)
+    u_rep = _seg_broadcast_f32(seg, u_ref[:])
+    p_rep = _seg_broadcast(seg, p_ref[:])
 
     # ---- recompute forward activations (kept in VMEM) ----
-    d = i_ref.dtype
     a0 = i_ref[:] + u_rep
     pre = _leaky(a0, alpha).astype(d)
     ncp = (
@@ -152,39 +205,38 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     dw4_ref[0, :] += jnp.sum(x3.astype(jnp.float32) * ds, axis=0)
 
     da3 = (dx3 * _dleaky(a3, alpha)).astype(d)
-    dw3_ref[:] += jnp.dot(x2.T, da3, preferred_element_type=jnp.float32)
+    dw3_ref[:] += _dot_tl(x2, da3)
     db3_ref[0, :] += jnp.sum(da3.astype(jnp.float32), axis=0)
-    dx2 = jnp.dot(da3, w3_ref[:].T, preferred_element_type=jnp.float32)
+    dx2 = _dot_tr(da3, w3_ref[:])
 
     da2 = (dx2 * _dleaky(a2, alpha)).astype(d)
-    dw2_ref[:] += jnp.dot(x1.T, da2, preferred_element_type=jnp.float32)
+    dw2_ref[:] += _dot_tl(x1, da2)
     db2_ref[0, :] += jnp.sum(da2.astype(jnp.float32), axis=0)
-    dx1 = jnp.dot(da2, w2_ref[:].T, preferred_element_type=jnp.float32)
+    dx1 = _dot_tr(da2, w2_ref[:])
 
     da1 = (dx1 * _dleaky(a1, alpha)).astype(d)
-    dw1_ref[:] += jnp.dot(prod.T, da1, preferred_element_type=jnp.float32)
+    dw1_ref[:] += _dot_tl(prod, da1)
     db1_ref[0, :] += jnp.sum(da1.astype(jnp.float32), axis=0)
-    dprod = jnp.dot(da1, w1_ref[:].T, preferred_element_type=jnp.float32)
+    dprod = _dot_tr(da1, w1_ref[:])
     dprod = dprod.astype(d)
 
     dnc = dprod * p_rep
     dp_rep = dprod * nc
-    dp_ref[:] = jnp.sum(
-        dp_rep.reshape(bt, k, c).astype(jnp.float32), axis=1
-    ).astype(dp_ref.dtype)
+    dp_ref[:] = _seg_reduce(seg, dp_rep).astype(dp_ref.dtype)
 
-    one = jnp.float32(1.0)
-    dncp = dnc.astype(jnp.float32) * (one - jnp.square(jnp.tanh(ncp)))
-    dncp_c = dncp.astype(d)
-    dcarw_ref[:] += jnp.dot(pre.T, dncp_c, preferred_element_type=jnp.float32)
-    dcarb_ref[0, :] += jnp.sum(dncp, axis=0)
-    dpre = jnp.dot(dncp_c, carw_ref[:].T, preferred_element_type=jnp.float32)
+    # tanh'(ncp) from the already-computed nc (bf16 round-trip of tanh —
+    # well inside bf16 training noise) instead of a second transcendental
+    # pass over the [rows, C] block; the whole cotangent chain stays bf16
+    # (the weight-grad contractions accumulate f32 in the MXU regardless)
+    one = nc.dtype.type(1)
+    dncp_c = (dnc * (one - nc * nc)).astype(d)
+    dcarw_ref[:] += _dot_tl(pre, dncp_c)
+    dcarb_ref[0, :] += jnp.sum(dncp_c.astype(jnp.float32), axis=0)
+    dpre = _dot_tr(dncp_c, carw_ref[:])
 
     da0 = (dpre * _dleaky(a0, alpha)).astype(d)
     di_ref[:] = da0
-    du_ref[:] = jnp.sum(
-        da0.reshape(bt, k, c).astype(jnp.float32), axis=1
-    ).astype(du_ref.dtype)
+    du_ref[:] = _seg_reduce(seg, da0).astype(du_ref.dtype)
 
 
 def _specs(bt_total, k, c, m1, m2, m3, tile=_BT_TILE):

@@ -134,3 +134,39 @@ def test_min_key_dedup_matches_shuffle_unique_distribution():
     freqs = np.array(list(counts.values())) / n_trials
     # each of the 4 values picked ~25% of the time
     assert (np.abs(freqs - 0.25) < 0.08).all()
+
+
+def test_approx_topk_keeps_sampler_invariants():
+    """The bench config's `approx_negative_topk` path (lax.approx_max_k
+    instead of the full sort, ops/sampling.py:134-144) must satisfy the
+    same exclusion / dedup / padding contract as the exact path."""
+    from chameleon_recsys_tpu.ops.sampling import sample_negatives_pooled
+
+    clicked = _session_batch()
+    buffer = jnp.arange(0, 512, dtype=jnp.int32) % 200
+    pool_ext, neg_idx, neg = sample_negatives_pooled(
+        jax.random.PRNGKey(3),
+        clicked,
+        buffer,
+        num_negatives=8,
+        buffer_sample_size=128,
+        approx_topk=True,
+    )
+    neg = np.asarray(neg)
+    clicked_np = np.asarray(clicked)
+    assert neg.shape == (3, 5, 8)
+    # ids are consistent with the returned pool indices
+    assert (np.asarray(pool_ext)[np.asarray(neg_idx)] == neg).all()
+    for b in range(3):
+        session_items = set(clicked_np[b].tolist()) - {0}
+        for t in range(5):
+            row = neg[b, t]
+            if clicked_np[b, t] == 0:
+                assert (row == 0).all()
+                continue
+            nonzero = row[row != 0]
+            assert not (set(nonzero.tolist()) & session_items)
+            assert len(set(nonzero.tolist())) == len(nonzero)
+            # candidates abound here: the approximate selection must still
+            # fill the full complement
+            assert len(nonzero) == 8
