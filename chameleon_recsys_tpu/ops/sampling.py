@@ -34,6 +34,15 @@ from jax import lax
 
 _INF = jnp.float32(jnp.inf)
 
+# Recall target for the approx_topk sampler path.  Marginal selection
+# probabilities stay correct at any recall (the selection keys are i.i.d. —
+# see sample_negatives_pooled); the approximation's bin structure only
+# introduces a mild negative correlation between candidates whose positions
+# share a reduction bin (positions are value-sorted, so id-neighbors).
+# Lower values shrink lax.approx_max_k's bin-reduction and run faster
+# (TPU, G1 shapes: exact 4.8 ms, 0.95→4.1, 0.9→2.8, 0.8→2.5).
+APPROX_TOPK_RECALL = 0.9
+
 
 def sample_from_buffer(rng: jax.Array, buffer_ids: jax.Array, sample_size: int) -> jax.Array:
     """Random sample (without replacement) of non-zero buffer entries.
@@ -150,7 +159,7 @@ def sample_negatives_pooled(
             # another equally-random one); the full sort is the sampler's
             # profiled hot spot
             neg_key, sorted_idx = lax.approx_max_k(
-                -key, num_negatives, recall_target=0.95
+                -key, num_negatives, recall_target=APPROX_TOPK_RECALL
             )
         else:
             neg_key, sorted_idx = lax.top_k(-key, num_negatives)

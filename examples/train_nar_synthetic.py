@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--negatives", type=int, default=20)
     parser.add_argument("--top_n", type=int, default=10)
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--approx_topk", action="store_true",
+                        help="use the approximate negative-sampler top-k "
+                        "(the bench config's fast path)")
     parser.add_argument("--stream", default="markov",
                         choices=["markov", "contextual", "churn"],
                         help="markov: item->item transitions; contextual: "
@@ -110,6 +113,7 @@ def main():
         batch_size=args.batch_size,
         max_session_length=12,
         metrics_top_n=args.top_n,
+        approx_negative_topk=args.approx_topk,
     )
     if args.stream == "churn":
         corpus = make_churn_corpus(
