@@ -52,12 +52,33 @@ def _valid_clicks(predictions, labels):
     return predictions[rows, cols], labels[rows, cols], rows, cols
 
 
+# The ILD/EILD metric family needs the row-normalized f64 ACE matrix; the
+# conversion + norm over the full [num_items, D] matrix is ~100 MB of work
+# and the metric set is rebuilt per eval hour for 5 metrics × every
+# recommender — profiled at ~2/3 of a G1-scale eval hour when recomputed per
+# add() call.  Cache keyed by source-array identity (the harness passes the
+# same object for the whole run; the strong ref keeps ids stable).
+_EMB_NORM_CACHE: list = []
+
+
+def _normalized_embeddings(matrix) -> np.ndarray:
+    for src, normed in _EMB_NORM_CACHE:
+        if src is matrix:
+            return normed
+    m = np.asarray(matrix, np.float64)
+    norms = np.linalg.norm(m, axis=-1, keepdims=True)
+    normed = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
+    _EMB_NORM_CACHE.append((matrix, normed))
+    del _EMB_NORM_CACHE[:-2]  # keep the two most recent source matrices
+    return normed
+
+
 def _pairwise_click_distances(ace_matrix, top_preds):
     """[N, n, n] pairwise normalized cosine distances of each click's top-n."""
-    emb = np.asarray(ace_matrix, np.float64)[top_preds]  # [N, n, D]
-    norms = np.linalg.norm(emb, axis=-1, keepdims=True)
-    emb = np.divide(emb, norms, out=np.zeros_like(emb), where=norms > 0)
-    sim = np.einsum("nid,njd->nij", emb, emb)
+    emb = _normalized_embeddings(ace_matrix)[top_preds]  # [N, n, D]
+    # batched BLAS gemm — np.einsum("nid,njd->nij") takes the non-BLAS
+    # c_einsum loop path and is several times slower here
+    sim = np.matmul(emb, emb.transpose(0, 2, 1))
     return (1.0 - sim) / 2.0
 
 
