@@ -75,6 +75,44 @@ def fill_ranked_topk(ranked_ids, valid_items, topk: int) -> np.ndarray:
     return out
 
 
+def topk_by_key(sessions_items, valid_items, keys, topk: int) -> np.ndarray:
+    """Batched twin of per-click ``fill_ranked_topk`` over a scored
+    valid-item tensor.
+
+    For every click, orders that click's ``valid_items`` by ``keys``
+    ascending with ties broken by ascending item id — exactly the order
+    ``fill_ranked_topk`` produces when the global ranking is a stable
+    ``argsort`` over an id-ascending candidate list (all the classical
+    baselines' construction).  ``keys`` of +inf mean "not in the ranking"
+    and zero-pad, as does any position whose input click is padding.
+
+    Args:
+      sessions_items: [B, T] int input clicks (0 = padding).
+      valid_items:    [B, T, C] int candidate ids per click.
+      keys:           [B, T, C] float ranking keys (smaller = better).
+      topk:           outputs per click.
+    Returns [B, T, topk] int64.
+    """
+    valid_items = np.asarray(valid_items)
+    keys = np.asarray(keys, np.float64)
+    # tie-break by id: pre-sort each row by item id ascending, then a stable
+    # key sort preserves that order among equal keys
+    id_order = np.argsort(valid_items, axis=2, kind="stable")
+    ids_sorted = np.take_along_axis(valid_items, id_order, axis=2)
+    keys_sorted = np.take_along_axis(keys, id_order, axis=2)
+    # fill_ranked_topk filters a GLOBAL ranking, so a duplicated valid id
+    # (zero padding, mostly) appears at most once — mask repeats to +inf
+    dup = np.zeros_like(ids_sorted, bool)
+    dup[..., 1:] = ids_sorted[..., 1:] == ids_sorted[..., :-1]
+    keys_sorted = np.where(dup, np.inf, keys_sorted)
+    order = np.argsort(keys_sorted, axis=2, kind="stable")[..., :topk]
+    out_ids = np.take_along_axis(ids_sorted, order, axis=2)
+    out_keys = np.take_along_axis(keys_sorted, order, axis=2)
+    out = np.where(np.isfinite(out_keys), out_ids, 0).astype(np.int64)
+    out *= (np.asarray(sessions_items) != 0)[:, :, None]
+    return out
+
+
 class BenchmarkRecommender:
     def __init__(self, state_view: StreamStateView, params: dict, streaming_metrics):
         self.state_view = state_view

@@ -9,7 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .benchmarks import BenchmarkRecommender, fill_ranked_topk
+from ..metrics.streaming import _normalized_embeddings
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk, topk_by_key
 
 
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -25,6 +26,44 @@ class ContentBasedRecommender(BenchmarkRecommender):
         return "Content-Based similarity"
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Batched: similarities only for each click's own valid items
+        ([N, C, D]·[N, D] products) instead of ranking the whole batch
+        candidate union per click.  Identical output to the scalar oracle —
+        every valid item (id 0 included, its padding embedding too —
+        matching the reference's candidate handling) gets a similarity, and
+        ties order by ascending id exactly like the stable argsort over the
+        id-ascending candidate union."""
+        ace = np.asarray(self.params["content_article_embeddings_matrix"])
+        sessions_items = np.asarray(sessions_items)
+        if valid_items is None:
+            buffer_ids = self.state_view.get_recent_clicks_buffer()
+            candidates = np.unique(buffer_ids[buffer_ids != 0])
+            valid_items = np.broadcast_to(
+                candidates,
+                sessions_items.shape + (len(candidates),),
+            )
+        valid_items = np.asarray(valid_items)
+
+        rows, cols = np.nonzero(sessions_items)
+        b, t = sessions_items.shape
+        topk_shape = (b, t, valid_items.shape[2])
+        keys = np.full(topk_shape, np.inf)
+        if len(rows):
+            # one BLAS gemm against the batch candidate union, then a [N, C]
+            # gather — never materializes a [N, C, D] embedding tensor
+            ace_norm = _normalized_embeddings(ace)  # cached row-normalized
+            candidates = np.unique(valid_items)     # sorted, id 0 included
+            sims_all = ace_norm[sessions_items[rows, cols]] @ (
+                ace_norm[candidates].T
+            )                                       # [N, U]
+            pos = np.searchsorted(candidates, valid_items[rows, cols])
+            keys[rows, cols] = -sims_all[
+                np.arange(len(rows))[:, None], pos
+            ]
+        return topk_by_key(sessions_items, valid_items, keys, topk)
+
+    def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click transliteration — the oracle for ``predict``."""
         ace = np.asarray(self.params["content_article_embeddings_matrix"])
 
         if valid_items is None:

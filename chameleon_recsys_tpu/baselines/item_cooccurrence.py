@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .benchmarks import BenchmarkRecommender, fill_ranked_topk
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk, topk_by_key
 
 
 def rank_sparse_row(values: np.ndarray, indices: np.ndarray) -> np.ndarray:
@@ -16,6 +16,24 @@ def rank_sparse_row(values: np.ndarray, indices: np.ndarray) -> np.ndarray:
     return np.asarray(indices)[order]
 
 
+def sample_cooc_counts(cooc, sessions_items, valid_items):
+    """[B, T, C] co-occurrence counts of (active click, valid item) pairs,
+    fetched in one vectorized csr lookup (0 where the click is padding)."""
+    sessions_items = np.asarray(sessions_items)
+    valid_items = np.asarray(valid_items)
+    rows, cols = np.nonzero(sessions_items)
+    out = np.zeros(valid_items.shape, np.float64)
+    if len(rows) == 0:
+        return out
+    active = sessions_items[rows, cols]
+    c = valid_items.shape[2]
+    # flat (row, col) pair indexing returns a DENSE 1×(N·C) matrix; the
+    # broadcastable 2-D form would return a sparse submatrix instead
+    vals = cooc[np.repeat(active, c), valid_items[rows, cols].ravel()]
+    out[rows, cols] = np.asarray(vals).reshape(len(rows), c)
+    return out
+
+
 class ItemCooccurrenceRecommender(BenchmarkRecommender):
     def get_clf_suffix(self):
         return "coocurrent"
@@ -24,6 +42,17 @@ class ItemCooccurrenceRecommender(BenchmarkRecommender):
         return "Most co-ocurrent in sessions"
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Batched: pairwise (click, valid-item) counts in one csr fancy
+        index; a valid item outside the click's co-occurrence row (count 0)
+        is excluded exactly like the scalar ranking, ties order by ascending
+        id like the csr row's canonical index order."""
+        cooc = self.state_view.get_items_coocurrences()
+        counts = sample_cooc_counts(cooc, sessions_items, valid_items)
+        keys = np.where(counts > 0, -counts, np.inf)
+        return topk_by_key(sessions_items, valid_items, keys, topk)
+
+    def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click transliteration — the oracle for ``predict``."""
         cooc = self.state_view.get_items_coocurrences()
         preds = np.zeros(
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64

@@ -6,8 +6,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from .benchmarks import BenchmarkRecommender, fill_ranked_topk
-from .item_cooccurrence import rank_sparse_row
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk, topk_by_key
+from .item_cooccurrence import rank_sparse_row, sample_cooc_counts
 
 
 class ItemKNNRecommender(BenchmarkRecommender):
@@ -26,6 +26,25 @@ class ItemKNNRecommender(BenchmarkRecommender):
         )
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Batched twin of the scalar oracle below: one csr fancy index for
+        all (click, valid-item) counts, support normalization applied as
+        array ops over the [B, T, C] tensor."""
+        cooc = self.state_view.get_items_coocurrences()
+        support = self.state_view.get_articles_pop().astype(np.float64)
+        support_norm = np.power(support + self.reg_lambda, self.alpha)
+        sessions_items = np.asarray(sessions_items)
+        valid_items = np.asarray(valid_items)
+
+        counts = sample_cooc_counts(cooc, sessions_items, valid_items)
+        active_norm = np.power(
+            support[sessions_items] + self.reg_lambda, 1.0 - self.alpha
+        )[:, :, None]
+        sims = counts / (support_norm[valid_items] * active_norm)
+        keys = np.where(counts > 0, -sims, np.inf)
+        return topk_by_key(sessions_items, valid_items, keys, topk)
+
+    def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click transliteration — the oracle for ``predict``."""
         cooc = self.state_view.get_items_coocurrences()
         support = self.state_view.get_articles_pop().astype(np.float64)
         support_norm = np.power(support + self.reg_lambda, self.alpha)

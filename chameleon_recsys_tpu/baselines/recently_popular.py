@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .benchmarks import BenchmarkRecommender, fill_ranked_topk
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk, topk_by_key
 
 
 class RecentlyPopularRecommender(BenchmarkRecommender):
@@ -24,6 +24,18 @@ class RecentlyPopularRecommender(BenchmarkRecommender):
         return order[counts[order] > 0]
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        # batched: a click's prediction = its valid items ordered by their
+        # position in the global popularity ranking (identical output to the
+        # per-click scalar path, kept below as the test oracle)
+        ranked = self._ranked_popular_items()
+        valid_items = np.asarray(valid_items)
+        hi = max(int(valid_items.max(initial=0)), int(ranked.max(initial=0))) + 1
+        pos = np.full(hi, np.inf)
+        pos[ranked] = np.arange(len(ranked), dtype=np.float64)
+        return topk_by_key(sessions_items, valid_items, pos[valid_items], topk)
+
+    def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click transliteration — the oracle for ``predict``."""
         ranked = self._ranked_popular_items()
         preds = np.zeros(
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64

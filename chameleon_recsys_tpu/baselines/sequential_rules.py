@@ -10,7 +10,7 @@ from collections import defaultdict
 
 import numpy as np
 
-from .benchmarks import BenchmarkRecommender, fill_ranked_topk
+from .benchmarks import BenchmarkRecommender, fill_ranked_topk, topk_by_key
 
 DECAY_FNS = {
     "same": lambda i: 1.0,
@@ -70,6 +70,33 @@ class SequentialRulesRecommender(BenchmarkRecommender):
                     self.rules[past][active] = score + self.decay_fn(i - j)
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click rule lookup (dicts are the rule store), but the
+        filter-to-valid + rank step is the shared batched kernel.  Ties order
+        by ascending id — the scalar oracle's tie order is the arbitrary
+        rule-dict insertion order (the reference shares this arbitrariness,
+        sequential_rules.py:84-94), so outputs can differ between the two
+        paths only where two rule targets have exactly equal scores."""
+        sessions_items = np.asarray(sessions_items)
+        valid_items = np.asarray(valid_items)
+        rules = self.rules
+        keys = np.full(valid_items.shape, np.inf)
+        rows, cols = np.nonzero(sessions_items)
+        for r, c in zip(rows, cols):
+            targets = rules.get(int(sessions_items[r, c]))
+            if not targets:
+                continue
+            row_valid = valid_items[r, c]
+            # presence = dict membership: "linear" decay can store 0.0 or
+            # negative rule scores, which the ranking still includes
+            scores = np.array(
+                [targets.get(int(v), np.nan) for v in row_valid], np.float64
+            )
+            keys[r, c] = np.where(np.isnan(scores), np.inf, -scores)
+        return topk_by_key(sessions_items, valid_items, keys, topk)
+
+    def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Per-click transliteration — the oracle for ``predict`` (tie order
+        excepted, see predict)."""
         preds = np.zeros(
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
         )
