@@ -268,31 +268,15 @@ def scaling_main():
     print(json.dumps(result))
 
 
-def main():
-    import jax
-
-    # persistent compile cache: repeat runs skip the multi-minute XLA compile
-    # (harmless no-op if the backend can't serialize executables)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
-
-    import jax.numpy as jnp
-
+def _g1_setup():
+    """The reference's G1 reproduction schemas + NARConfig (README.md:264-306),
+    shared by the train-throughput and eval-throughput benches."""
     from chameleon_recsys_tpu.config import (
         ArticleFeaturesSchema,
         FeatureSpec,
         NARConfig,
         SessionFeaturesSchema,
     )
-    from chameleon_recsys_tpu.data.collate import batches_from_sessions
-    from chameleon_recsys_tpu.data.synthetic import (
-        make_synthetic_corpus,
-        synthetic_hour_sessions,
-    )
-    from chameleon_recsys_tpu.train.steps import build_nar_train, nar_init_state
 
     num_items = 46033  # G1 articles (README.md:29)
     article_schema = ArticleFeaturesSchema(
@@ -349,6 +333,30 @@ def main():
         # sampler's sort is ~4 ms of the step (ops/sampling.py:134-144)
         approx_negative_topk=True,
     )
+    return cfg, session_schema, article_schema
+
+
+def main():
+    import jax
+
+    # persistent compile cache: repeat runs skip the multi-minute XLA compile
+    # (harmless no-op if the backend can't serialize executables)
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from chameleon_recsys_tpu.data.collate import batches_from_sessions
+    from chameleon_recsys_tpu.data.synthetic import (
+        make_synthetic_corpus,
+        synthetic_hour_sessions,
+    )
+    from chameleon_recsys_tpu.train.steps import build_nar_train, nar_init_state
+
+    cfg, session_schema, article_schema = _g1_setup()
 
     corpus = make_synthetic_corpus(article_schema, ace_dim=250)
     metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
@@ -430,6 +438,153 @@ def main():
     print(json.dumps(result))
 
 
+def eval_main():
+    """--eval: eval-hour throughput (sessions/s) through the FULL production
+    eval tier at G1 scale — jitted eval_step + streaming metrics (17 classes)
+    + all six classical baselines' train/evaluate + cold-start bookkeeping —
+    i.e. everything `TemporalHarness.evaluate_hour` does per hour.
+
+    The reference's eval hour was dominated by per-click Python loops in the
+    baselines; this measures the batched replacements end-to-end.  Wall clock
+    is the right meter here (the tier is host+device mixed and the host work
+    overlaps nothing), so the number is conservative on the tunneled dev
+    backend where every device dispatch pays RPC latency.
+    """
+    import tempfile
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    from chameleon_recsys_tpu.baselines.content_based import (
+        ContentBasedRecommender,
+    )
+    from chameleon_recsys_tpu.baselines.item_cooccurrence import (
+        ItemCooccurrenceRecommender,
+    )
+    from chameleon_recsys_tpu.baselines.item_knn import ItemKNNRecommender
+    from chameleon_recsys_tpu.baselines.recently_popular import (
+        RecentlyPopularRecommender,
+    )
+    from chameleon_recsys_tpu.baselines.sequential_rules import (
+        SequentialRulesRecommender,
+    )
+    from chameleon_recsys_tpu.baselines.session_knn import (
+        SessionBasedKNNRecommender,
+    )
+    from chameleon_recsys_tpu.config import RunConfig
+    from chameleon_recsys_tpu.data.synthetic import (
+        make_synthetic_corpus,
+        synthetic_hour_sessions,
+    )
+    from chameleon_recsys_tpu.train.temporal import BenchmarkSpec, TemporalHarness
+
+    cfg, session_schema, article_schema = _g1_setup()
+    corpus = make_synthetic_corpus(article_schema, ace_dim=250)
+    sessions_per_hour = 4 * cfg.batch_size
+
+    # the G1 benchmark set and parameters (cli/nar_trainer_gcom.py)
+    benchmarks = [
+        BenchmarkSpec(RecentlyPopularRecommender, {}),
+        BenchmarkSpec(ItemCooccurrenceRecommender, {}),
+        BenchmarkSpec(ItemKNNRecommender, {"reg_lambda": 20, "alpha": 0.75}),
+        BenchmarkSpec(
+            SessionBasedKNNRecommender,
+            {
+                "sessions_buffer_size": 3000,
+                "candidate_sessions_sample_size": 1000,
+                "sampling_strategy": "recent",
+                "nearest_neighbor_session_for_scoring": 500,
+                "similarity": "cosine",
+                "first_session_clicks_decay": "div",
+            },
+        ),
+        BenchmarkSpec(
+            ContentBasedRecommender,
+            {"content_article_embeddings_matrix": corpus.ace_matrix},
+        ),
+        BenchmarkSpec(
+            SequentialRulesRecommender,
+            {"max_clicks_dist": 10, "dist_between_clicks_decay": "div"},
+        ),
+    ]
+    harness = TemporalHarness(
+        cfg,
+        RunConfig(model_dir=tempfile.mkdtemp(prefix="chameleon_evalbench_")),
+        session_schema,
+        article_schema,
+        corpus.ace_matrix,
+        corpus.metadata,
+        benchmarks=benchmarks,
+        eval_cold_start=True,
+    )
+
+    def hour(h):
+        return synthetic_hour_sessions(
+            corpus, session_schema, h, sessions_per_hour, cfg.max_session_length
+        )
+
+    # two training hours: compile both programs, fill buffers + baseline state
+    harness.train_hour(hour(0))
+    harness.train_hour(hour(1))
+    harness.evaluate_hour(hour(2))  # warm the eval tier (metric set caches)
+
+    t0 = time.perf_counter()
+    row = harness.evaluate_hour(hour(3))
+    elapsed = time.perf_counter() - t0
+    phases = dict(harness.last_eval_phase_seconds)
+
+    # On the tunneled dev backend the "device" phase is dominated by RPC
+    # transfer of the eval fetches (MBs/batch over a slow link), which no
+    # real deployment pays — there device→host is PCIe and the dispatch
+    # overlaps host work.  The headline number therefore excludes transport:
+    # host metric tier + the eval_step's device time (from the same
+    # device-trace methodology as the train bench).  Wall clock is reported
+    # alongside.
+    host_seconds = sum(v for k, v in phases.items() if k != "device")
+    trace_state = harness.state
+    eval_batches = [b for b in harness._batches(hour(3))]
+
+    def _run_traced():
+        s = trace_state
+        for b in eval_batches:
+            s, m, f = harness.programs.eval_step(
+                s, harness._put_batch(b), harness.ace_matrix, harness.metadata
+            )
+        np.asarray(m["hit_sum"])
+
+    device_eval_seconds = _traced_step_seconds(_run_traced, 1)
+    effective = host_seconds + device_eval_seconds
+    sessions = int(row["sessions_count"])
+    sessions_per_sec = sessions / effective if effective else sessions / elapsed
+
+    # The reference never measured eval throughput either; its eval hour ran
+    # the same per-click Python predict loops we replaced, so reuse the
+    # nominal-TF1 floor for vs_baseline comparability with the train metric.
+    print(
+        json.dumps(
+            {
+                "metric": "nar_eval_sessions_per_sec",
+                "value": round(sessions_per_sec, 1),
+                "unit": "sessions/s",
+                "vs_baseline": round(
+                    sessions_per_sec / NOMINAL_TF1_K80_SESSIONS_PER_SEC, 2
+                ),
+                "timing_source": "host_phases+device_trace",
+                "eval_hour_wall_seconds": round(elapsed, 2),
+                "device_eval_step_seconds": round(device_eval_seconds, 3),
+                "phase_seconds": {k: round(v, 3) for k, v in phases.items()},
+                "sessions": sessions,
+                "benchmarks": len(benchmarks),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -437,7 +592,15 @@ if __name__ == "__main__":
         help="weak-scaling benchmark at 1/2/4/8 devices instead of the "
         "single-chip G1-scale throughput run",
     )
-    if parser.parse_args().scaling:
+    parser.add_argument(
+        "--eval", action="store_true",
+        help="eval-hour throughput (jitted eval_step + streaming metrics + "
+        "all six classical baselines) instead of train throughput",
+    )
+    _args = parser.parse_args()
+    if _args.scaling:
         scaling_main()
+    elif _args.eval:
+        eval_main()
     else:
         main()

@@ -35,12 +35,13 @@ class ContentBasedRecommender(BenchmarkRecommender):
         id-ascending candidate union."""
         ace = np.asarray(self.params["content_article_embeddings_matrix"])
         sessions_items = np.asarray(sessions_items)
+        shared_candidates = None
         if valid_items is None:
             buffer_ids = self.state_view.get_recent_clicks_buffer()
-            candidates = np.unique(buffer_ids[buffer_ids != 0])
+            shared_candidates = np.unique(buffer_ids[buffer_ids != 0])
             valid_items = np.broadcast_to(
-                candidates,
-                sessions_items.shape + (len(candidates),),
+                shared_candidates,
+                sessions_items.shape + (len(shared_candidates),),
             )
         valid_items = np.asarray(valid_items)
 
@@ -49,17 +50,30 @@ class ContentBasedRecommender(BenchmarkRecommender):
         topk_shape = (b, t, valid_items.shape[2])
         keys = np.full(topk_shape, np.inf)
         if len(rows):
-            # one BLAS gemm against the batch candidate union, then a [N, C]
-            # gather — never materializes a [N, C, D] embedding tensor
             ace_norm = _normalized_embeddings(ace)  # cached row-normalized
-            candidates = np.unique(valid_items)     # sorted, id 0 included
-            sims_all = ace_norm[sessions_items[rows, cols]] @ (
-                ace_norm[candidates].T
-            )                                       # [N, U]
-            pos = np.searchsorted(candidates, valid_items[rows, cols])
-            keys[rows, cols] = -sims_all[
-                np.arange(len(rows))[:, None], pos
-            ]
+            click_ids = sessions_items[rows, cols]
+            if shared_candidates is not None:
+                # every click ranks the same candidate row — one gemm
+                keys[rows, cols] = -(
+                    ace_norm[click_ids] @ ace_norm[shared_candidates].T
+                )
+            else:
+                # N·C·D work — each click scores only its OWN candidate row.
+                # (A batch-union gemm is N·U·D with U up to the whole catalog
+                # at eval scale: ~900× more FLOPs for B=256, C=51, G1's 46k
+                # items.)
+                vi = valid_items[rows, cols]            # [N, C]
+                c = vi.shape[1]
+                sims = np.empty(vi.shape)
+                # chunk the [n, C, D] gather to ~64 MB of float64
+                chunk = max(1, int(64e6 / (c * ace_norm.shape[1] * 8)))
+                for s in range(0, len(rows), chunk):
+                    ce = ace_norm[vi[s : s + chunk]]          # [n, C, D]
+                    q = ace_norm[click_ids[s : s + chunk]]    # [n, D]
+                    # batched BLAS gemv (einsum 'ncd,nd->nc' takes the slow
+                    # non-BLAS c_einsum path here)
+                    sims[s : s + chunk] = np.matmul(ce, q[:, :, None])[..., 0]
+                keys[rows, cols] = -sims
         return topk_by_key(sessions_items, valid_items, keys, topk)
 
     def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):

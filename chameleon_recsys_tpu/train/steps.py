@@ -91,7 +91,13 @@ def build_nar_train(
     cfg: NARConfig,
     session_schema: SessionFeaturesSchema,
     article_schema: ArticleFeaturesSchema,
+    fetch_full_ranking: bool = True,
 ) -> NARPrograms:
+    """``fetch_full_ranking=False`` slims the eval fetches to what the
+    host metric tier consumes — ``predicted_ids[..., :metrics_top_n]`` and
+    no ``predicted_probs`` — cutting device→host transfer ~2 MB/batch at the
+    G1 config.  The full [B, T, 1+K] ranking (+ probs) is only needed for
+    per-session recommendation logs (reference nar_model.py:1529-1581)."""
     model = NARModel(cfg, session_schema, article_schema)
     optimizer = optax.adam(cfg.learning_rate, b1=0.9, b2=0.999, eps=1e-8)
 
@@ -180,12 +186,17 @@ def build_nar_train(
         dev_metrics["clicks"] = jnp.sum(out.loss_mask)
         dev_metrics["sessions"] = jnp.sum(batch["session_size"] > 0)
         fetches = {
-            "predicted_ids": out.predicted_ids,
-            "predicted_probs": out.predicted_probs,
             "labels": batch["label_next_item"],
             "neg_items": out.candidate_ids[..., 1:],
             "clicked_items": batch["item_clicked"],
         }
+        if fetch_full_ranking:
+            fetches["predicted_ids"] = out.predicted_ids
+            fetches["predicted_probs"] = out.predicted_probs
+        else:
+            fetches["predicted_ids"] = (
+                out.predicted_ids[..., : cfg.metrics_top_n]
+            )
         new_state = NARTrainState(
             state.params,
             state.opt_state,

@@ -110,11 +110,20 @@ class TemporalHarness:
         self.ace_matrix = jnp.asarray(ace_matrix)
         self.ace_matrix_np = np.asarray(ace_matrix)
         self.metadata = {k: jnp.asarray(v) for k, v in dict(metadata).items()}
-        self.programs = build_nar_train(cfg, session_schema, article_schema)
+        # Full [B, T, 1+K] ranking (+ probs) fetched only when per-session
+        # recommendation logs need it; otherwise top-N ids suffice for the
+        # whole host metric tier and transfers shrink ~2 MB/batch.
+        self.programs = build_nar_train(
+            cfg,
+            session_schema,
+            article_schema,
+            fetch_full_ranking=log_recommendations,
+        )
         self.state: Optional[NARTrainState] = None
         self.host_state = HostState(article_schema.num_items)
         self.eval_cold_start = eval_cold_start
         self.cold_start_state = ColdStartAnalysisState()
+        self.last_eval_phase_seconds: Dict[str, float] = {}
         self.eval_metrics_by_session_position = eval_metrics_by_session_position
 
         self.artifacts = HarnessArtifacts(
@@ -344,6 +353,17 @@ class TemporalHarness:
         hit_sum = rr_sum = label_count = 0.0
         sessions_count = clicks_count = 0
         t_start = time.time()
+        # Per-phase wall accounting, exposed as self.last_eval_phase_seconds.
+        # "device" bundles dispatch + device→host fetches — on a
+        # remote-dispatch dev backend that is mostly tunnel transfer, so the
+        # split lets bench/ops tell host-tier cost from transport artifacts.
+        phases = {
+            "device": 0.0,
+            "chameleon_metrics": 0.0,
+            "benchmarks": 0.0,
+            "cold_start": 0.0,
+            "host_state": 0.0,
+        }
 
         # NOTE on view freshness: the pre-loop refresh above plus the
         # per-batch refresh inside _train_host_side keep self._state_view at
@@ -351,6 +371,7 @@ class TemporalHarness:
         # nar_model.py:1434-1470) without an extra device→host sync of the
         # three [num_items] state arrays per eval batch.
         for np_batch in self._batches(sessions):
+            t0 = time.perf_counter()
             batch = self._put_batch(np_batch)
             self.state, dev_metrics, fetches = self._eval_step(
                 self.state, batch, self.ace_matrix, self.metadata
@@ -365,12 +386,18 @@ class TemporalHarness:
             # its own addressable rows (matching its np_batch rows) and runs
             # the host-side metric tier on them.  Single-process: plain copy.
             preds = _local_rows(fetches["predicted_ids"])
-            probs = _local_rows(fetches["predicted_probs"])
+            probs = (
+                _local_rows(fetches["predicted_probs"])
+                if "predicted_probs" in fetches
+                else None
+            )
             labels = _local_rows(fetches["labels"])
             neg_items = _local_rows(fetches["neg_items"])
             clicked = _local_rows(fetches["clicked_items"])
             pop_norm = self._state_view.get_articles_recent_pop_norm()
+            phases["device"] += time.perf_counter() - t0
 
+            t0 = time.perf_counter()
             update_metrics(
                 preds,
                 labels,
@@ -381,7 +408,9 @@ class TemporalHarness:
                 recommender="chameleon",
             )
             self._log_eval_batch(np_batch, labels, neg_items, preds, probs, pop_norm)
+            phases["chameleon_metrics"] += time.perf_counter() - t0
 
+            t0 = time.perf_counter()
             for clf in self.bench_classifiers:
                 clf.evaluate(
                     np_batch["user_id"],
@@ -390,15 +419,21 @@ class TemporalHarness:
                     topk=self.cfg.metrics_top_n,
                     eval_negative_items=neg_items,
                 )
+            phases["benchmarks"] += time.perf_counter() - t0
             # Cold-start bookkeeping runs AFTER this batch's first-click
             # registration (reference order, nar_model.py:1481-1494: items
             # clicked AND recommended in the same batch count with elapsed 0).
             self._register_batch_clicks(np_batch)
             if self.eval_cold_start:
+                t0 = time.perf_counter()
                 self._update_cold_start(np_batch, labels, neg_items, preds)
+                phases["cold_start"] += time.perf_counter() - t0
             # force_refresh: the eval metric tier needs the view advanced to
             # this batch's post-step state even when no benchmarks run
+            t0 = time.perf_counter()
             self._train_host_side(np_batch, force_refresh=True)
+            phases["host_state"] += time.perf_counter() - t0
+        self.last_eval_phase_seconds = phases
 
         row: Dict[str, float] = {
             "hitrate_at_n": hit_sum / max(label_count, 1.0),
