@@ -100,6 +100,23 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             for item in self.sessions.pop(oldest_sid):
                 self.item_sessions[item].discard(oldest_sid)
                 item_arr.pop(item, None)
+        state["sid_size_cache"] = None  # session sizes changed
+
+    def _sid_sizes(self, state, sids: np.ndarray) -> np.ndarray:
+        """float64 ``len(sessions[s])`` for each sid, via a sorted-index
+        cache rebuilt lazily after train/evict (the per-element generator
+        was ~20% of predict wall time)."""
+        cache = state.get("sid_size_cache")
+        if cache is None:
+            sessions = state["sessions"]
+            sid_index = np.fromiter(sessions.keys(), np.int64, len(sessions))
+            sizes = np.fromiter(
+                (len(v) for v in sessions.values()), np.float64, len(sessions)
+            )
+            order = np.argsort(sid_index)
+            cache = state["sid_size_cache"] = (sid_index[order], sizes[order])
+        sid_index, sizes = cache
+        return sizes[np.searchsorted(sid_index, sids)]
 
     # -- scoring -------------------------------------------------------------
     def _candidate_sessions(self, prefix_items) -> List[int]:
@@ -254,6 +271,22 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
         weights = occ_per_uniq[sel_mask] * sim_uniq[sel_mask]
 
         # 4. neighbor sessions vote for their items
+        ranked, uniq_items, scores = self._vote_and_rank(
+            sel_sids, weights, sess_arr
+        )
+        return ranked.tolist(), dict(zip(uniq_items.tolist(), scores.tolist()))
+
+    @staticmethod
+    def _vote_and_rank(sel_sids, weights, sess_arr):
+        """Selected neighbor sessions vote ``weights`` for their items.
+
+        -score primary, first-occurrence secondary.  NOTE on determinism:
+        where the scalar path breaks similarity ties at the neighbor cut
+        and score ties in the final ranking by Python SET iteration order
+        (arbitrary — the reference shares this, session_knn.py:216-236),
+        this path uses ascending-session-id / first-occurrence order:
+        same semantics, but reproducible across runs.
+        """
         item_lists = [sess_arr(int(s)) for s in sel_sids]
         items_cat = np.concatenate(item_lists)
         w_cat = np.repeat(weights, [len(a) for a in item_lists])
@@ -261,16 +294,181 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             items_cat, return_index=True, return_inverse=True
         )
         scores = np.bincount(item_inv, weights=w_cat)
-        # -score primary, first-occurrence secondary.  NOTE on determinism:
-        # where the scalar path breaks similarity ties at the neighbor cut
-        # and score ties in the final ranking by Python SET iteration order
-        # (arbitrary — the reference shares this, session_knn.py:216-236),
-        # this path uses ascending-session-id / first-occurrence order:
-        # same semantics, but reproducible across runs.
         ranked = uniq_items[np.lexsort((first_idx, -scores))]
-        return ranked.tolist(), dict(zip(uniq_items.tolist(), scores.tolist()))
+        return ranked, uniq_items, scores
 
     def predict(self, users_ids, sessions_items, topk=5, valid_items=None):
+        """Row-batched ranker: consecutive clicks of one session share their
+        candidate occurrences, membership matrix, similarities, and the
+        expensive descending-sid sort, so steps 1-2 run ONCE per session row
+        instead of once per click (~10× redundancy at session length 20).
+        Output is identical to the per-click path (``_predict_per_click``,
+        kept as the test oracle) — every accumulation runs in the same
+        floating-point ORDER, so similarities are bit-equal and tie/boundary
+        behavior at the neighbor cut matches exactly."""
+        if self.sampling_strategy != "recent":
+            # "random" draws from Python's RNG per click — per-call stream
+            # differs between the two paths, so keep the oracle path
+            return self._predict_per_click(
+                users_ids, sessions_items, topk=topk, valid_items=valid_items
+            )
+        sessions_items = np.asarray(sessions_items)
+        preds = np.zeros(
+            (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
+        )
+        state = self._state()
+        for r in range(sessions_items.shape[0]):
+            cols = np.nonzero(sessions_items[r])[0]
+            if cols.size:
+                self._predict_row(
+                    sessions_items[r], cols, valid_items[r], preds[r], topk,
+                    state,
+                )
+        return preds
+
+    def _predict_row(self, row, cols, valid_row, out, topk, state):
+        sessions = state["sessions"]
+        item_arr_cache = state["item_arr"]
+        sess_arr_cache = state["sess_arr"]
+        item_sessions = state["item_sessions"]
+
+        def item_arr(item) -> np.ndarray:
+            arr = item_arr_cache.get(item)
+            if arr is None:
+                sids = item_sessions.get(item, ())
+                arr = np.fromiter(sids, np.int64, len(sids))
+                arr.sort()
+                item_arr_cache[item] = arr
+            return arr
+
+        def sess_arr(sid) -> np.ndarray:
+            arr = sess_arr_cache.get(sid)
+            if arr is None:  # state restored from an older checkpoint
+                items = sessions[sid]
+                arr = sess_arr_cache[sid] = np.fromiter(
+                    items, np.int64, len(items)
+                )
+            return arr
+
+        row_items = [int(row[c]) for c in cols]
+        m = len(row_items)
+        arrays = [item_arr(it) for it in row_items]
+        lens = [len(a) for a in arrays]
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        if offsets[-1] == 0:
+            return
+        cand_all = np.concatenate(arrays)
+        uniq, inv_all = np.unique(cand_all, return_inverse=True)
+
+        # membership by scatter: arrays_j lists exactly the sids containing
+        # item j (each once), so no isin is needed
+        member = np.zeros((uniq.size, m))
+        for j in range(m):
+            member[inv_all[offsets[j] : offsets[j + 1]], j] = 1.0
+        occ_cum = np.cumsum(member, axis=1)  # occurrences per sid at prefix j
+
+        # first occurrence of each distinct item (set semantics for the
+        # intersection / distinct-prefix counts)
+        seen: Dict[int, int] = {}
+        first_mask = np.zeros(m)
+        for j, it in enumerate(row_items):
+            if it not in seen:
+                seen[it] = j
+                first_mask[j] = 1.0
+        inter_cum = np.cumsum(member * first_mask[None, :], axis=1)
+        distinct = np.cumsum(first_mask)
+
+        if self.first_clicks_decay == "same":
+            numer = inter_cum
+        else:
+            # same accumulation ORDER as the per-click path (distance d
+            # ascending == reversed-prefix position ascending): column p-1
+            # receives decay(d)·member[:, p-d] for d = 1..p, in that order
+            numer = np.zeros((uniq.size, m))
+            for d in range(1, m + 1):
+                numer[:, d - 1 :] = (
+                    numer[:, d - 1 :]
+                    + self.pos_decay_fn(d) * member[:, : m - d + 1]
+                )
+        sizes = self._sid_sizes(state, uniq)
+        if self.similarity == "cosine":
+            denom = np.sqrt(distinct)[None, :] * np.sqrt(sizes)[:, None]
+        elif self.similarity == "jaccard":
+            denom = distinct[None, :] + sizes[:, None] - inter_cum
+        else:
+            raise ValueError(f"invalid similarity: {self.similarity}")
+        sim = np.where(denom > 0, numer / np.maximum(denom, 1e-12), 0.0)
+
+        # row-level vote table: all candidate sessions' items concatenated
+        # once (ascending sid, matching the per-click selected-session concat
+        # order), so each click's vote is a grouped gather + bincount instead
+        # of a fresh concat + unique
+        item_lists = [sess_arr(int(s)) for s in uniq.tolist()]
+        lens_items = np.fromiter(
+            (len(a) for a in item_lists), np.int64, uniq.size
+        )
+        starts = np.concatenate([[0], np.cumsum(lens_items)[:-1]])
+        all_items_cat = np.concatenate(item_lists)
+        uniq_items_row, inv_items = np.unique(
+            all_items_cat, return_inverse=True
+        )
+
+        desc = np.arange(uniq.size)[::-1]  # row indices in descending sid
+        for j, c in enumerate(cols):
+            n_occ = int(offsets[j + 1])
+            if n_occ == 0:
+                continue
+            if 0 < self.candidate_sample_size < n_occ:
+                # "recent" cut: the per-click path sorts ALL occurrences by
+                # sid descending and keeps the first K — equal to repeating
+                # each sid its occurrence count, largest sid first
+                counts_desc = occ_cum[::-1, j].astype(np.int64)
+                rows_occ = np.repeat(desc, counts_desc)[
+                    : self.candidate_sample_size
+                ]
+            else:
+                rows_occ = inv_all[:n_occ]
+            sims_occ = sim[rows_occ, j]
+            keep = (sims_occ > 0.0) & (sims_occ < 1.0)
+            order = np.argsort(-sims_occ, kind="stable")
+            order = order[keep[order]][: self.nearest_neighbors]
+            if order.size == 0:
+                continue
+            occ_per_uniq = np.bincount(rows_occ[order], minlength=uniq.size)
+            sel_mask = occ_per_uniq > 0
+            weights = occ_per_uniq[sel_mask] * sim[sel_mask, j]
+
+            # vote: gather the selected sessions' item slices from the row
+            # table via a grouped arange — occurrence order, float
+            # accumulation order, and the first-occurrence tie-break all
+            # match _vote_and_rank exactly
+            sel_rows = np.nonzero(sel_mask)[0]
+            ls = lens_items[sel_rows]
+            s0 = starts[sel_rows]
+            total = int(ls.sum())
+            step = np.ones(total, np.int64)
+            step[0] = s0[0]
+            bnd = np.cumsum(ls)[:-1]
+            step[bnd] = s0[1:] - (s0[:-1] + ls[:-1]) + 1
+            occ_rows = inv_items[np.cumsum(step)]
+            w_occ = np.repeat(weights, ls)
+            scores = np.bincount(
+                occ_rows, weights=w_occ, minlength=uniq_items_row.size
+            )
+            # first occurrence per item: reversed fancy-assign (last write
+            # wins -> earliest position survives)
+            first_pos = np.empty(uniq_items_row.size, np.int64)
+            first_pos[occ_rows[::-1]] = np.arange(total - 1, -1, -1)
+            present = scores > 0.0  # weights are strictly positive
+            ranked = uniq_items_row[present][
+                np.lexsort((first_pos[present], -scores[present]))
+            ]
+            out[c] = fill_ranked_topk(ranked, valid_row[c], topk)
+
+    def _predict_per_click(
+        self, users_ids, sessions_items, topk=5, valid_items=None
+    ):
+        """Per-click transliteration — the oracle for ``predict``."""
         preds = np.zeros(
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
         )

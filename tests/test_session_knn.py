@@ -146,3 +146,45 @@ def test_predict_shape_and_valid_items():
     assert preds.shape == (2, 3, 4)
     nz = preds[preds != 0]
     assert np.isin(nz, valid).all()
+
+
+@pytest.mark.parametrize("decay,sim", [
+    ("div", "cosine"), ("same", "cosine"), ("div", "jaccard"),
+    ("log", "cosine"), ("same", "jaccard"),
+])
+def test_row_batched_predict_matches_per_click(decay, sim):
+    """The row-batched ``predict`` must equal the per-click oracle exactly —
+    similarities are accumulated in the same float order, so the equality
+    holds through the neighbor cut's tie boundaries as well."""
+    rng = np.random.RandomState(11)
+    clf = _make_clf(
+        first_session_clicks_decay=decay, similarity=sim,
+        # small cut sizes so both the candidate sampling and the neighbor
+        # cut trigger constantly
+        candidate_sessions_sample_size=12,
+        nearest_neighbor_session_for_scoring=6,
+    )
+    _train_random(clf, rng, n_batches=10, b=8, t=5)
+    for _ in range(6):
+        # heavy duplication (small item universe) -> many score/sim ties
+        items = rng.randint(0, 12, size=(7, 6)).astype(np.int64)
+        items[-1] = 0
+        valid = rng.randint(0, NUM_ITEMS, size=(7, 6, 9)).astype(np.int64)
+        got = clf.predict(None, items, topk=5, valid_items=valid)
+        want = clf._predict_per_click(None, items, topk=5, valid_items=valid)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_row_batched_predict_no_cut_matches_per_click():
+    rng = np.random.RandomState(13)
+    clf = _make_clf(
+        candidate_sessions_sample_size=0,
+        nearest_neighbor_session_for_scoring=10_000,
+    )
+    _train_random(clf, rng)
+    items = rng.randint(0, NUM_ITEMS, size=(6, 5)).astype(np.int64)
+    valid = rng.randint(0, NUM_ITEMS, size=(6, 5, 8)).astype(np.int64)
+    np.testing.assert_array_equal(
+        clf.predict(None, items, topk=4, valid_items=valid),
+        clf._predict_per_click(None, items, topk=4, valid_items=valid),
+    )
