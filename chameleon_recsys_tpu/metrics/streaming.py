@@ -73,13 +73,27 @@ def _normalized_embeddings(matrix) -> np.ndarray:
     return normed
 
 
+# One-slot distance memo: every ILD/EILD metric in a recommender's set
+# computes the distances of the SAME top-n slice each batch (5 metric
+# classes in the full set), so keying on content makes 4 of the 5 calls a
+# lookup.  Content hash, not identity: each metric slices preds itself.
+_PAIR_DIST_CACHE: list = []
+
+
 def _pairwise_click_distances(ace_matrix, top_preds):
     """[N, n, n] pairwise normalized cosine distances of each click's top-n."""
+    key = (id(ace_matrix), top_preds.shape, top_preds.tobytes())
+    for k, dists in _PAIR_DIST_CACHE:
+        if k == key:  # bytes compare = C memcmp, exact
+            return dists
     emb = _normalized_embeddings(ace_matrix)[top_preds]  # [N, n, D]
     # batched BLAS gemm — np.einsum("nid,njd->nij") takes the non-BLAS
     # c_einsum loop path and is several times slower here
     sim = np.matmul(emb, emb.transpose(0, 2, 1))
-    return (1.0 - sim) / 2.0
+    dists = (1.0 - sim) / 2.0
+    _PAIR_DIST_CACHE.append((key, dists))
+    del _PAIR_DIST_CACHE[:-2]  # the current batch's slice + one spare
+    return dists
 
 
 class StreamingMetric:
