@@ -81,17 +81,28 @@ class SequentialRulesRecommender(BenchmarkRecommender):
         rules = self.rules
         keys = np.full(valid_items.shape, np.inf)
         rows, cols = np.nonzero(sessions_items)
-        for r, c in zip(rows, cols):
-            targets = rules.get(int(sessions_items[r, c]))
+        if len(rows) == 0:
+            return topk_by_key(sessions_items, valid_items, keys, topk)
+        # group clicks by active item: each touched rule dict is converted
+        # to sorted (target, score) arrays ONCE per batch, then every click
+        # sharing the item scores its valid row with one searchsorted —
+        # presence = dict membership ("linear" decay can store 0.0 or
+        # negative rule scores, which the ranking still includes)
+        active = sessions_items[rows, cols]
+        order = np.argsort(active, kind="stable")
+        bounds = np.nonzero(np.diff(active[order]))[0] + 1
+        for g in np.split(order, bounds):
+            targets = rules.get(int(active[g[0]]))
             if not targets:
                 continue
-            row_valid = valid_items[r, c]
-            # presence = dict membership: "linear" decay can store 0.0 or
-            # negative rule scores, which the ranking still includes
-            scores = np.array(
-                [targets.get(int(v), np.nan) for v in row_valid], np.float64
-            )
-            keys[r, c] = np.where(np.isnan(scores), np.inf, -scores)
+            t_ids = np.fromiter(targets.keys(), np.int64, len(targets))
+            t_scores = np.fromiter(targets.values(), np.float64, len(targets))
+            srt = np.argsort(t_ids)
+            t_ids, t_scores = t_ids[srt], t_scores[srt]
+            vi = valid_items[rows[g], cols[g]]  # [n_group, C]
+            pos = np.minimum(np.searchsorted(t_ids, vi), t_ids.size - 1)
+            hit = t_ids[pos] == vi
+            keys[rows[g], cols[g]] = np.where(hit, -t_scores[pos], np.inf)
         return topk_by_key(sessions_items, valid_items, keys, topk)
 
     def _predict_scalar(self, users_ids, sessions_items, topk=5, valid_items=None):
