@@ -20,6 +20,7 @@ Semantics preserved bit-for-bit, including the reference's quirks:
 from __future__ import annotations
 
 import math
+import threading
 from collections import defaultdict
 from typing import Dict, Optional
 
@@ -59,31 +60,43 @@ def _valid_clicks(predictions, labels):
 # add() call.  Cache keyed by source-array identity (the harness passes the
 # same object for the whole run; the strong ref keeps ids stable).
 _EMB_NORM_CACHE: list = []
+_EMB_NORM_LOCK = threading.Lock()
 
 
 def _normalized_embeddings(matrix) -> np.ndarray:
-    for src, normed in _EMB_NORM_CACHE:
-        if src is matrix:
-            return normed
-    m = np.asarray(matrix, np.float64)
-    norms = np.linalg.norm(m, axis=-1, keepdims=True)
-    normed = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
-    _EMB_NORM_CACHE.append((matrix, normed))
-    del _EMB_NORM_CACHE[:-2]  # keep the two most recent source matrices
-    return normed
+    # Locked: the harness may run several recommenders' metric updates on a
+    # thread pool (train/temporal.py), and the normalization of a full
+    # [num_items, D] matrix is expensive enough that concurrent first-miss
+    # threads must not each recompute it.
+    with _EMB_NORM_LOCK:
+        for src, normed in _EMB_NORM_CACHE:
+            if src is matrix:
+                return normed
+        m = np.asarray(matrix, np.float64)
+        norms = np.linalg.norm(m, axis=-1, keepdims=True)
+        normed = np.divide(m, norms, out=np.zeros_like(m), where=norms > 0)
+        _EMB_NORM_CACHE.append((matrix, normed))
+        del _EMB_NORM_CACHE[:-2]  # keep the two most recent source matrices
+        return normed
 
 
 # One-slot distance memo: every ILD/EILD metric in a recommender's set
 # computes the distances of the SAME top-n slice each batch (5 metric
 # classes in the full set), so keying on content makes 4 of the 5 calls a
 # lookup.  Content hash, not identity: each metric slices preds itself.
-_PAIR_DIST_CACHE: list = []
+# Thread-LOCAL: each pool worker in the harness's parallel benchmark tier
+# updates one recommender's metric set, so per-thread slots both isolate
+# concurrent writers and keep the hit pattern identical to the serial path.
+_PAIR_DIST_TLS = threading.local()
 
 
 def _pairwise_click_distances(ace_matrix, top_preds):
     """[N, n, n] pairwise normalized cosine distances of each click's top-n."""
+    cache = getattr(_PAIR_DIST_TLS, "slots", None)
+    if cache is None:
+        cache = _PAIR_DIST_TLS.slots = []
     key = (id(ace_matrix), top_preds.shape, top_preds.tobytes())
-    for k, dists in _PAIR_DIST_CACHE:
+    for k, dists in cache:
         if k == key:  # bytes compare = C memcmp, exact
             return dists
     emb = _normalized_embeddings(ace_matrix)[top_preds]  # [N, n, D]
@@ -91,8 +104,8 @@ def _pairwise_click_distances(ace_matrix, top_preds):
     # c_einsum loop path and is several times slower here
     sim = np.matmul(emb, emb.transpose(0, 2, 1))
     dists = (1.0 - sim) / 2.0
-    _PAIR_DIST_CACHE.append((key, dists))
-    del _PAIR_DIST_CACHE[:-2]  # the current batch's slice + one spare
+    cache.append((key, dists))
+    del cache[:-2]  # the current batch's slice + one spare
     return dists
 
 

@@ -13,7 +13,9 @@ left off instead of silently resetting popularity state.
 from __future__ import annotations
 
 import logging
+import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
@@ -86,6 +88,7 @@ class TemporalHarness:
         artifact_remote_path: str = "",
         mesh_plan=None,
         mesh_min_rows: int = 4096,
+        benchmark_workers: Optional[int] = None,
     ):
         # Remote artifact sync seam (reference GCS workflow shape,
         # gcs_utils.py:22-109): every export also uploads model_dir to the
@@ -154,6 +157,24 @@ class TemporalHarness:
         if eval_cold_start:
             for clf in self.bench_classifiers:
                 clf.cold_start_state = ColdStartAnalysisState()
+        # Parallel benchmark tier: each classical baseline's train/evaluate is
+        # independent per batch (own metric set, own benchmarks_states slot,
+        # read-only StreamStateView/co-occurrence), and the heavy work is
+        # numpy (GIL-released), so the per-classifier loops run on a thread
+        # pool.  Outputs are bit-identical to the serial order — no baseline
+        # reads another's state.  ``benchmark_workers``: None = auto (one
+        # thread per classifier, capped at cpu_count); 0/1 = serial.
+        if benchmark_workers is None:
+            benchmark_workers = min(
+                len(self.bench_classifiers), os.cpu_count() or 1
+            )
+        self._bench_pool = (
+            ThreadPoolExecutor(
+                max_workers=benchmark_workers, thread_name_prefix="bench"
+            )
+            if benchmark_workers > 1 and len(self.bench_classifiers) > 1
+            else None
+        )
         self.hours_trained = 0
         # Count of completed chunk evals — checkpointed so a resume from a
         # checkpoint taken between a chunk's train and its eval re-runs that
@@ -163,6 +184,15 @@ class TemporalHarness:
         self.eval_meter = ThroughputMeter("eval")
 
     # ------------------------------------------------------------------
+    def _each_benchmark(self, fn):
+        """Apply ``fn`` to every benchmark classifier, on the thread pool
+        when one is configured.  ``list()`` re-raises worker exceptions."""
+        if self._bench_pool is None:
+            for clf in self.bench_classifiers:
+                fn(clf)
+        else:
+            list(self._bench_pool.map(fn, self.bench_classifiers))
+
     def _new_metric_set(self):
         return create_eval_metrics(
             self.cfg.metrics_top_n,
@@ -321,13 +351,14 @@ class TemporalHarness:
         )
         self.host_state.update_items_coocurrences(all_clicked)
         self._refresh_state_view()
-        for clf in self.bench_classifiers:
-            clf.train(
+        self._each_benchmark(
+            lambda clf: clf.train(
                 np_batch["user_id"],
                 np_batch["session_id"],
                 clicked,
                 np_batch["label_next_item"],
             )
+        )
 
     # ------------------------------------------------------------------
     def evaluate_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
@@ -411,14 +442,15 @@ class TemporalHarness:
             phases["chameleon_metrics"] += time.perf_counter() - t0
 
             t0 = time.perf_counter()
-            for clf in self.bench_classifiers:
-                clf.evaluate(
+            self._each_benchmark(
+                lambda clf: clf.evaluate(
                     np_batch["user_id"],
                     clicked,
                     labels,
                     topk=self.cfg.metrics_top_n,
                     eval_negative_items=neg_items,
                 )
+            )
             phases["benchmarks"] += time.perf_counter() - t0
             # Cold-start bookkeeping runs AFTER this batch's first-click
             # registration (reference order, nar_model.py:1481-1494: items
@@ -513,7 +545,7 @@ class TemporalHarness:
             self.host_state.items_first_click_step,
             self.host_state.current_step,
         )
-        for clf in self.bench_classifiers:
+        def one(clf):
             valid = clf.get_valid_candidate_items(labels, neg_items)
             bench_preds = clf.predict(
                 np_batch["user_id"],
@@ -526,6 +558,8 @@ class TemporalHarness:
                 self.host_state.items_first_click_step,
                 self.host_state.current_step,
             )
+
+        self._each_benchmark(one)
 
     # ------------------------------------------------------------------
     def run(

@@ -193,3 +193,66 @@ def test_resume_reruns_pending_eval(harness_setup, tmp_path):
     assert len(evals) == 1
     assert len(h2.artifacts.eval_sessions_metrics_log) == 1
     assert h2.evals_done == 1
+
+
+def test_parallel_benchmark_tier_matches_serial(harness_setup):
+    """The thread-pool benchmark tier must be observably identical to the
+    serial loop: each classifier is independent (own metric set, own
+    benchmarks_states slot), so the eval row — metrics for every
+    recommender, cold-start stats included — must match exactly."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    from chameleon_recsys_tpu.baselines import (
+        ContentBasedRecommender,
+        ItemCooccurrenceRecommender,
+        ItemKNNRecommender,
+        SessionBasedKNNRecommender,
+    )
+
+    extra = [
+        BenchmarkSpec(ItemCooccurrenceRecommender, {}),
+        BenchmarkSpec(ItemKNNRecommender, {"reg_lambda": 20, "alpha": 0.75}),
+        BenchmarkSpec(
+            ContentBasedRecommender,
+            {"content_article_embeddings_matrix": corpus.ace_matrix},
+        ),
+        BenchmarkSpec(
+            SessionBasedKNNRecommender,
+            {
+                "sessions_buffer_size": 100,
+                "candidate_sessions_sample_size": 50,
+                "sampling_strategy": "recent",
+                "nearest_neighbor_session_for_scoring": 20,
+                "similarity": "cosine",
+                "first_session_clicks_decay": "div",
+            },
+        ),
+    ]
+
+    def run_with(workers):
+        h = TemporalHarness(
+            cfg,
+            run_cfg,
+            sess,
+            art,
+            corpus.ace_matrix,
+            corpus.metadata,
+            benchmarks=[
+                BenchmarkSpec(RecentlyPopularRecommender, {}),
+                BenchmarkSpec(
+                    SequentialRulesRecommender,
+                    {"max_clicks_dist": 10, "dist_between_clicks_decay": "div"},
+                ),
+            ]
+            + extra,
+            eval_cold_start=True,
+            benchmark_workers=workers,
+        )
+        return h.run(hour_source, hours=range(3))[0]
+
+    row_serial = run_with(0)
+    row_parallel = run_with(4)
+    assert set(row_serial) == set(row_parallel)
+    for key, v in row_serial.items():
+        if "elapsed" in key or "per_s" in key:  # wall-clock counters differ
+            continue
+        assert row_parallel[key] == v, key
