@@ -585,6 +585,104 @@ def eval_main():
     )
 
 
+def serve_main():
+    """--serve: production recommendation latency at G1 scale.
+
+    The reference has NO serving path at all — it stops at offline eval —
+    so this measures a net-new capability: ``NARServer.recommend`` (full
+    jitted scoring over a 500-item live candidate pool, top-10) for online
+    batch sizes 1 and 32.  Latency percentiles come from per-call device
+    timeline durations (wall clock through the tunneled dev backend measures
+    RPC dispatch, which no real deployment pays).  ``vs_baseline`` compares
+    the batch-1 p99 against a 50 ms online-serving budget (a typical news
+    recsys SLA) — >1 means fits the budget with room.
+    """
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from chameleon_recsys_tpu.data.collate import batches_from_sessions
+    from chameleon_recsys_tpu.data.synthetic import (
+        make_synthetic_corpus,
+        synthetic_hour_sessions,
+    )
+    from chameleon_recsys_tpu.serve import NARServer
+    from chameleon_recsys_tpu.train.steps import build_nar_train, nar_init_state
+    from chameleon_recsys_tpu.utils.profiling import device_call_times_ms
+
+    cfg, session_schema, article_schema = _g1_setup()
+    corpus = make_synthetic_corpus(article_schema, ace_dim=250)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+
+    sessions = synthetic_hour_sessions(
+        corpus, session_schema, 0, 2 * cfg.batch_size, cfg.max_session_length
+    )
+    batches = [
+        {k: jnp.asarray(v) for k, v in b.items()}
+        for b in batches_from_sessions(
+            sessions, session_schema, cfg.batch_size, cfg.max_session_length
+        )
+    ]
+    programs = build_nar_train(cfg, session_schema, article_schema)
+    _, _, state = nar_init_state(
+        cfg, session_schema, article_schema, batches[0], ace, metadata
+    )
+    # a couple of train steps: realistic params + a populated live buffer
+    for b in batches[:2]:
+        state, m = programs.train_step(state, b, ace, metadata)
+    np.asarray(m["loss"])
+
+    server = NARServer(
+        cfg, session_schema, article_schema, state.params, state.stream,
+        ace, corpus.metadata,
+    )
+    pool = server.default_candidates(500)
+
+    result = {
+        "metric": "nar_serve_p99_latency_ms_b1",
+        "unit": "ms",
+        "timing_source": "device_trace",
+        "candidates": 500,
+        "top_k": 10,
+    }
+    for bs in (1, 32):
+        serve_sessions = sessions[:bs]
+        cand = jnp.asarray(np.broadcast_to(pool, (bs, len(pool))).copy())
+        batch = server._collate_serving(serve_sessions)
+
+        def call(params, stream, batch, cand):
+            return server._score(params, stream, batch, cand, 10)
+
+        times = device_call_times_ms(
+            call, (server.params, server.stream, batch, cand), iters=60
+        )
+        if not times:
+            t0 = time.perf_counter()
+            for _ in range(20):
+                ids, scores = call(server.params, server.stream, batch, cand)
+            np.asarray(ids)
+            times = [(time.perf_counter() - t0) / 20 * 1e3]
+            result["timing_source"] = "wall_clock"
+        times = sorted(times)
+        p50 = times[len(times) // 2]
+        p99 = times[min(len(times) - 1, int(len(times) * 0.99))]
+        result[f"b{bs}_p50_ms"] = round(p50, 3)
+        result[f"b{bs}_p99_ms"] = round(p99, 3)
+        if bs == 1:
+            result["value"] = round(p99, 3)
+            result["vs_baseline"] = round(50.0 / p99, 2)
+        else:
+            result[f"b{bs}_sessions_per_sec"] = round(bs / (p50 / 1e3), 1)
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -597,10 +695,17 @@ if __name__ == "__main__":
         help="eval-hour throughput (jitted eval_step + streaming metrics + "
         "all six classical baselines) instead of train throughput",
     )
+    parser.add_argument(
+        "--serve", action="store_true",
+        help="online recommendation latency (NARServer.recommend) at G1 "
+        "scale instead of train throughput",
+    )
     _args = parser.parse_args()
     if _args.scaling:
         scaling_main()
     elif _args.eval:
         eval_main()
+    elif _args.serve:
+        serve_main()
     else:
         main()

@@ -167,6 +167,12 @@ class NARConfig:
     # negative sampling: TPU approx_max_k instead of a full sort for the
     # per-click random-key selection (still a valid random draw; faster)
     approx_negative_topk: bool = False
+    # PRNG implementation for the step keys: 'threefry2x32' (JAX default,
+    # splittable, bit-reproducible across backends) or 'rbg' (XLA
+    # RngBitGenerator — much faster bit generation on TPU; the sampler draws
+    # ~5M uniforms/step at the G1 config).  Either is a valid i.i.d. stream;
+    # sampled ids differ between impls, so the default stays threefry.
+    rng_impl: str = "threefry2x32"
 
     @property
     def max_inputs_length(self) -> int:

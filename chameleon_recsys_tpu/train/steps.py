@@ -136,8 +136,16 @@ def build_nar_train(
         )
         return out, (all_clicked, all_ts)
 
+    def _split_state_rng(raw):
+        """NARTrainState.rng is raw key DATA (a plain uint32 array — keeps
+        checkpoints/donation/shardings dtype-simple); wrap it as a typed key
+        of cfg.rng_impl so every downstream split/uniform uses that PRNG."""
+        key = jax.random.wrap_key_data(raw, impl=cfg.rng_impl)
+        rng, step_rng = jax.random.split(key)
+        return jax.random.key_data(rng), step_rng
+
     def train_step_fn(state: NARTrainState, batch, ace_matrix, metadata):
-        rng, step_rng = jax.random.split(state.rng)
+        rng, step_rng = _split_state_rng(state.rng)
 
         def loss_fn(params):
             out, clicks = _forward_and_negatives(
@@ -172,7 +180,7 @@ def build_nar_train(
         """Eval updates the stream state too (the temporal protocol trains
         baselines/popularity through the eval hour, then the harness restores
         the pre-eval snapshot — reference nar_model.py:1410-1415, 1691-1693)."""
-        rng, step_rng = jax.random.split(state.rng)
+        rng, step_rng = _split_state_rng(state.rng)
         out, (all_clicked, all_ts) = _forward_and_negatives(
             state.params, state.stream, batch, (ace_matrix, metadata), step_rng,
             train=False, rank=True,
@@ -224,7 +232,9 @@ def nar_init_state(
 ) -> Tuple[NARModel, Any, NARTrainState]:
     programs = build_nar_train(cfg, session_schema, article_schema)
     model, optimizer = programs.model, programs.optimizer
-    rng = jax.random.PRNGKey(seed)
+    # typed key of cfg.rng_impl; the state carries raw key DATA (see
+    # _split_state_rng in build_nar_train)
+    rng = jax.random.key(seed, impl=cfg.rng_impl)
     rng, init_rng = jax.random.split(rng)
     stream = init_stream_state(cfg, article_schema.num_items)
     aux = NARAux(
@@ -248,6 +258,10 @@ def nar_init_state(
     params = variables["params"]
     opt_state = optimizer.init(params)
     state = NARTrainState(
-        params, opt_state, stream, rng, jnp.zeros((), jnp.int32)
+        params,
+        opt_state,
+        stream,
+        jax.random.key_data(rng),
+        jnp.zeros((), jnp.int32),
     )
     return model, optimizer, state

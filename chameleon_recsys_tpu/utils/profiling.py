@@ -127,6 +127,58 @@ def device_time_ms(fn, args, iters: int = 10) -> float:
     return max(jit_totals) / iters
 
 
+def device_call_times_ms(fn, args, iters: int = 50) -> List[float]:
+    """Per-call device execution times (ms) of a jitted ``fn(*args)`` —
+    the individual durations, so callers can compute latency percentiles.
+
+    Same methodology as device_time_ms (device-timeline events of the
+    dominant ``jit*`` program), but returns every call's duration instead
+    of the mean.  Empty list if no device events were captured.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warmup + compile
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        try:
+            for _ in range(iters):
+                out = fn(*args)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        finally:
+            jax.profiler.stop_trace()
+        paths = glob.glob(td + "/**/*.trace.json.gz", recursive=True)
+        if not paths:
+            return []
+        with gzip.open(sorted(paths)[-1]) as f:
+            data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, name in pids.items() if name.startswith("/device:")}
+    durs: Dict[str, List[float]] = collections.defaultdict(list)
+    for e in events:
+        if (
+            e.get("ph") == "X"
+            and e.get("pid") in device_pids
+            and str(e.get("name", "")).startswith("jit")
+        ):
+            durs[str(e["name"])].append(float(e.get("dur", 0.0)) / 1e3)
+    if not durs:
+        return []
+    return max(durs.values(), key=sum)
+
+
 @contextlib.contextmanager
 def xla_trace(log_dir: str, enabled: bool = True):
     """JAX profiler trace (the ProfilerHook equivalent; view with

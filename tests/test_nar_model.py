@@ -94,3 +94,21 @@ def test_padded_sessions_do_not_contribute():
     state, metrics = train_step(state, batch, ace, metadata)
     assert np.isfinite(float(metrics["loss"]))
     assert int(metrics["sessions"]) == half
+
+
+def test_rbg_prng_full_step_and_raw_key_checkpoint():
+    """cfg.rng_impl='rbg' (XLA RngBitGenerator — the fast TPU PRNG) must run
+    the full train/eval step; the state carries raw key DATA so a plain
+    numpy checkpoint round-trip of the rng works for any impl."""
+    cfg, art, sess, ace, metadata, batch = _setup(rng_impl="rbg")
+    _, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    programs = build_nar_train(cfg, sess, art)
+    assert state.rng.shape == (4,) and state.rng.dtype == jnp.uint32
+    state, m = programs.train_step(state, batch, ace, metadata)
+    assert np.isfinite(float(m["loss"]))
+    raw = np.asarray(state.rng)  # snapshot BEFORE the donating eval call
+    state, dm, _ = programs.eval_step(state, batch, ace, metadata)
+    assert np.isfinite(float(dm["ce_loss"]))
+    resumed = state._replace(rng=jnp.asarray(raw))
+    _, m2 = programs.train_step(resumed, batch, ace, metadata)
+    assert np.isfinite(float(m2["loss"]))
