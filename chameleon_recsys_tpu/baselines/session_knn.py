@@ -89,6 +89,17 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             items = set(int(x) for x in row if x != 0)
             if not items:
                 continue
+            # Re-training an existing sid REPLACES its item set; items only
+            # in the old version must drop the sid from the inverted index,
+            # or eviction (which walks the current set) would leave dangling
+            # sids behind (the reference's list-buffer has the dual hazard:
+            # duplicate sid structs whose eviction kills shared map entries,
+            # session_knn.py:103-115).
+            old = self.sessions.get(sid)
+            if old is not None:
+                for item in old - items:
+                    self.item_sessions[item].discard(sid)
+                    item_arr.pop(item, None)
             self.sessions[sid] = items
             sess_arr[sid] = np.fromiter(items, np.int64, len(items))
             for item in items:
@@ -101,6 +112,29 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
                 self.item_sessions[item].discard(oldest_sid)
                 item_arr.pop(item, None)
         state["sid_size_cache"] = None  # session sizes changed
+
+    # -- shared lazy numpy caches (live inside the state dict, see _state) --
+    @staticmethod
+    def _item_arr(state, item) -> np.ndarray:
+        """Sorted array of session ids containing ``item``."""
+        arr = state["item_arr"].get(item)
+        if arr is None:
+            sids = state["item_sessions"].get(item, ())
+            arr = np.fromiter(sids, np.int64, len(sids))
+            arr.sort()
+            state["item_arr"][item] = arr
+        return arr
+
+    @staticmethod
+    def _sess_arr(state, sid) -> np.ndarray:
+        """Item array of session ``sid`` (rebuilt after checkpoint restore)."""
+        arr = state["sess_arr"].get(sid)
+        if arr is None:
+            items = state["sessions"][sid]
+            arr = state["sess_arr"][sid] = np.fromiter(
+                items, np.int64, len(items)
+            )
+        return arr
 
     def _sid_sizes(self, state, sids: np.ndarray) -> np.ndarray:
         """float64 ``len(sessions[s])`` for each sid, via a sorted-index
@@ -190,27 +224,12 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
         if state is None:
             state = self._state()
         sessions = state["sessions"]
-        item_arr_cache = state["item_arr"]
-        sess_arr_cache = state["sess_arr"]
-        item_sessions = state["item_sessions"]
 
         def item_arr(item) -> np.ndarray:
-            arr = item_arr_cache.get(item)
-            if arr is None:
-                sids = item_sessions.get(item, ())
-                arr = np.fromiter(sids, np.int64, len(sids))
-                arr.sort()
-                item_arr_cache[item] = arr
-            return arr
+            return self._item_arr(state, item)
 
         def sess_arr(sid) -> np.ndarray:
-            arr = sess_arr_cache.get(sid)
-            if arr is None:  # state restored from an older checkpoint
-                items = sessions[sid]
-                arr = sess_arr_cache[sid] = np.fromiter(
-                    items, np.int64, len(items)
-                )
-            return arr
+            return self._sess_arr(state, sid)
 
         # 1. candidate occurrences (duplicates preserved, like the
         #    reference's list comprehension, session_knn.py:200-203)
@@ -317,6 +336,12 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
         )
         state = self._state()
+        # NOTE: the row loop is embarrassingly parallel (disjoint preds
+        # slices), but threading it was measured 1.2-2.2× SLOWER at G1 scale
+        # on the build VM — the per-row numpy ops are small enough that GIL
+        # time and memory-bandwidth contention dominate.  Inter-CLASSIFIER
+        # parallelism (train/temporal.py::_each_benchmark) is where the eval
+        # tier's thread win lives.
         for r in range(sessions_items.shape[0]):
             cols = np.nonzero(sessions_items[r])[0]
             if cols.size:
@@ -327,28 +352,11 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
         return preds
 
     def _predict_row(self, row, cols, valid_row, out, topk, state):
-        sessions = state["sessions"]
-        item_arr_cache = state["item_arr"]
-        sess_arr_cache = state["sess_arr"]
-        item_sessions = state["item_sessions"]
-
         def item_arr(item) -> np.ndarray:
-            arr = item_arr_cache.get(item)
-            if arr is None:
-                sids = item_sessions.get(item, ())
-                arr = np.fromiter(sids, np.int64, len(sids))
-                arr.sort()
-                item_arr_cache[item] = arr
-            return arr
+            return self._item_arr(state, item)
 
         def sess_arr(sid) -> np.ndarray:
-            arr = sess_arr_cache.get(sid)
-            if arr is None:  # state restored from an older checkpoint
-                items = sessions[sid]
-                arr = sess_arr_cache[sid] = np.fromiter(
-                    items, np.int64, len(items)
-                )
-            return arr
+            return self._sess_arr(state, sid)
 
         row_items = [int(row[c]) for c in cols]
         m = len(row_items)

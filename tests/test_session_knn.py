@@ -188,3 +188,32 @@ def test_row_batched_predict_no_cut_matches_per_click():
         clf.predict(None, items, topk=4, valid_items=valid),
         clf._predict_per_click(None, items, topk=4, valid_items=valid),
     )
+
+
+def test_retrain_sid_with_different_items_keeps_index_consistent():
+    """Re-training a session id with a DIFFERENT item set, then evicting it,
+    must leave no dangling sids in the inverted index (the vectorized paths
+    assume index⊆buffer; the scalar path silently filtered)."""
+    clf = _make_clf(sessions_buffer_size=4)
+    sid = np.array([11, 12, 13, 14])
+    items_v1 = np.array([[1, 2, 3], [4, 5, 0], [6, 7, 0], [8, 9, 0]])
+    nxt = np.zeros((4, 1), np.int64)
+    clf.train(None, sid, items_v1.astype(np.int64), nxt)
+    # replace sid 11 with a disjoint item set
+    clf.train(None, np.array([11]), np.array([[20, 21, 0]], np.int64),
+              np.zeros((1, 1), np.int64))
+    # old items must no longer index sid 11
+    assert 11 not in clf.item_sessions[1]
+    assert 11 not in clf.item_sessions[2]
+    assert 11 in clf.item_sessions[20]
+    # grow past the buffer so sid 11 is evicted, then predict over item 1:
+    # no KeyError and output matches the per-click oracle
+    clf.train(None, np.array([15, 16]),
+              np.array([[1, 2, 0], [3, 20, 0]], np.int64),
+              np.zeros((2, 1), np.int64))
+    assert 11 not in clf.sessions
+    items = np.array([[1, 2, 3, 20]], np.int64)
+    valid = np.tile(np.arange(1, 10, dtype=np.int64), (1, 4, 1))
+    a = clf.predict(None, items, topk=5, valid_items=valid)
+    b = clf._predict_per_click(None, items, topk=5, valid_items=valid)
+    np.testing.assert_array_equal(a, b)
