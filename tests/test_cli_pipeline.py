@@ -218,3 +218,52 @@ def test_full_cli_chain(raw_data, tmp_path):
 
     payload = _json.loads((sweep_dir / "sweep_results.json").read_text())
     assert len(payload) == 2
+
+
+@pytest.mark.parametrize("method,dim", [
+    ("lsa", 10), ("w2v_tfidf", None), ("doc2vec", 8),
+])
+def test_ace_baselines_cli(raw_data, tmp_path, method, dim):
+    """The unified ACE-baselines CLI must export the same handoff-pickle
+    contract as the neural ACR trainer for every method (the reference's
+    six per-dataset scripts, lsa/doc2vec/w2v_tfidf × gcom/adressa)."""
+    from chameleon_recsys_tpu.cli import ace_baselines_cli, acr_preprocess_gcom
+
+    acr_out = tmp_path / "acr_pre"
+    acr_preprocess_gcom.main(
+        [
+            "--input_articles_csv_path", str(raw_data / "articles.csv"),
+            "--input_word_embeddings_path", str(raw_data / "w2v.txt"),
+            "--output_dir", str(acr_out),
+            "--truncate_tokens_length", "16",
+            "--first_sentences", "4",
+        ]
+    )
+    out_pickle = tmp_path / f"ace_{method}.pickle"
+    argv = [
+        "--method", method,
+        "--train_set_path_regex", str(acr_out / "articles_tokenized_*.tfrecord.gz"),
+        "--input_word_vocab_embeddings_path",
+        str(acr_out / "acr_word_vocab_embeddings.pickle"),
+        "--input_label_encoders_path", str(acr_out / "acr_label_encoders.pickle"),
+        "--output_acr_metadata_embeddings_path", str(out_pickle),
+        "--truncate_tokens_length", "16",
+        "--training_epochs", "2",
+        "--platform", "cpu",
+    ]
+    if dim is not None:
+        argv += ["--acr_embeddings_size", str(dim)]
+    ace_baselines_cli.main(argv)
+
+    with open(out_pickle, "rb") as f:
+        label_encoders, metadata, ace_matrix = pickle.load(f)
+    assert ace_matrix.shape[0] == N_ARTICLES + 1
+    if dim is not None:
+        assert ace_matrix.shape[1] == dim
+    assert np.all(np.isfinite(ace_matrix))
+    # padding row 0 = mean embedding (reference invariant)
+    np.testing.assert_allclose(
+        ace_matrix[0], ace_matrix[1:].mean(axis=0), rtol=1e-5, atol=1e-6
+    )
+    assert list(metadata["article_id"][:3]) == [0, 1, 2]
+    assert "category_id" in label_encoders
