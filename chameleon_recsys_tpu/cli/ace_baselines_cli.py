@@ -111,13 +111,9 @@ def main(argv=None):
         seed=args.random_seed,
     )
     metadata = {
-        "article_id": np.concatenate([[0], ids[order]]),
-        "category_id": np.concatenate(
-            [[0], np.asarray(articles["category_id"])[order]]
-        ),
-        "created_at_ts": np.concatenate(
-            [[0], np.asarray(articles["created_at_ts"])[order]]
-        ),
+        key: np.concatenate([[0], np.asarray(vals)[order]])
+        for key, vals in articles.items()
+        if key not in ("text", "text_length")
     }
     export_ace_pickle(
         args.output_acr_metadata_embeddings_path, label_encoders, metadata,

@@ -28,24 +28,38 @@ from ..models.acr import ACRLabelSpec
 
 def load_article_arrays(tfrecord_paths, truncate_tokens_length):
     ids, cats, created, lengths, texts = [], [], [], [], []
+    extras = {}
     for path in tfrecord_paths:
         for record in read_tfrecord_file(path):
             context, sequences = decode_sequence_example(record)
             ids.append(context["article_id"][0])
             cats.append(context.get("category_id", [0])[0])
             created.append(context.get("created_at_ts", [0])[0])
+            # dataset-specific scalar metadata (e.g. Adressa's category0/
+            # category1/author) rides along for handoff-metadata export
+            for key, vals in context.items():
+                if (
+                    key not in ("article_id", "category_id", "created_at_ts")
+                    and len(vals) == 1
+                    and isinstance(vals[0], (int, np.integer))
+                ):
+                    extras.setdefault(key, []).append(int(vals[0]))
             tokens = [int(step[0]) if step else 0 for step in sequences["text"]]
             tokens = tokens[:truncate_tokens_length]
             tokens += [0] * (truncate_tokens_length - len(tokens))
             texts.append(tokens)
             lengths.append(sum(1 for t in tokens if t != 0))
-    return {
+    arrays = {
         "article_id": np.asarray(ids, np.int64),
         "category_id": np.asarray(cats, np.int64),
         "created_at_ts": np.asarray(created, np.int64),
         "text": np.asarray(texts, np.int32),
         "text_length": np.asarray(lengths, np.int32),
     }
+    for key, vals in extras.items():
+        if len(vals) == len(ids):  # only fields present on every article
+            arrays[key] = np.asarray(vals, np.int64)
+    return arrays
 
 
 def main(argv=None):
