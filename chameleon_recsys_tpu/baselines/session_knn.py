@@ -111,7 +111,7 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             for item in self.sessions.pop(oldest_sid):
                 self.item_sessions[item].discard(oldest_sid)
                 item_arr.pop(item, None)
-        state["sid_size_cache"] = None  # session sizes changed
+        state["vote_table"] = None  # buffer membership/sizes changed
 
     # -- shared lazy numpy caches (live inside the state dict, see _state) --
     @staticmethod
@@ -136,21 +136,28 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             )
         return arr
 
-    def _sid_sizes(self, state, sids: np.ndarray) -> np.ndarray:
-        """float64 ``len(sessions[s])`` for each sid, via a sorted-index
-        cache rebuilt lazily after train/evict (the per-element generator
-        was ~20% of predict wall time)."""
-        cache = state.get("sid_size_cache")
-        if cache is None:
+    def _vote_table(self, state):
+        """Global buffer layout rebuilt lazily after train/evict: all
+        buffered sessions' item arrays concatenated in ascending-sid order.
+
+        Returns (sids_sorted [S], starts [S], lens [S], items_cat [ΣL]).
+        Replaces both the old per-row ``sess_arr`` dict-lookup concat (~700k
+        lookups per G1 batch) and the sid-size cache: any row's candidate
+        set maps in by one ``searchsorted``."""
+        vt = state.get("vote_table")
+        if vt is None:
             sessions = state["sessions"]
-            sid_index = np.fromiter(sessions.keys(), np.int64, len(sessions))
-            sizes = np.fromiter(
-                (len(v) for v in sessions.values()), np.float64, len(sessions)
+            sids = np.fromiter(sessions.keys(), np.int64, len(sessions))
+            sids.sort()
+            lists = [self._sess_arr(state, int(s)) for s in sids.tolist()]
+            lens = np.fromiter((len(a) for a in lists), np.int64, sids.size)
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if sids.size \
+                else np.empty(0, np.int64)
+            items = (
+                np.concatenate(lists) if lists else np.empty(0, np.int64)
             )
-            order = np.argsort(sid_index)
-            cache = state["sid_size_cache"] = (sid_index[order], sizes[order])
-        sid_index, sizes = cache
-        return sizes[np.searchsorted(sid_index, sids)]
+            vt = state["vote_table"] = (sids, starts, lens, items)
+        return vt
 
     # -- scoring -------------------------------------------------------------
     def _candidate_sessions(self, prefix_items) -> List[int]:
@@ -398,7 +405,9 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
                     numer[:, d - 1 :]
                     + self.pos_decay_fn(d) * member[:, : m - d + 1]
                 )
-        sizes = self._sid_sizes(state, uniq)
+        g_sids, g_starts, g_lens, g_items = self._vote_table(state)
+        gidx = np.searchsorted(g_sids, uniq)  # uniq ⊆ buffer (train invariant)
+        sizes = g_lens[gidx].astype(np.float64)
         if self.similarity == "cosine":
             denom = np.sqrt(distinct)[None, :] * np.sqrt(sizes)[:, None]
         elif self.similarity == "jaccard":
@@ -407,21 +416,28 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             raise ValueError(f"invalid similarity: {self.similarity}")
         sim = np.where(denom > 0, numer / np.maximum(denom, 1e-12), 0.0)
 
-        # row-level vote table: all candidate sessions' items concatenated
-        # once (ascending sid, matching the per-click selected-session concat
-        # order), so each click's vote is a grouped gather + bincount instead
-        # of a fresh concat + unique
-        item_lists = [sess_arr(int(s)) for s in uniq.tolist()]
-        lens_items = np.fromiter(
-            (len(a) for a in item_lists), np.int64, uniq.size
+        # row-level vote table: the candidate sessions' item slices gathered
+        # from the GLOBAL table (ascending sid, identical content/order to a
+        # per-sid concat) via one grouped arange — no per-sid dict lookups
+        lens_items = g_lens[gidx]
+        starts_glob = g_starts[gidx]
+        total_row = int(lens_items.sum())
+        step_row = np.ones(total_row, np.int64)
+        step_row[0] = starts_glob[0]
+        bnd_row = np.cumsum(lens_items)[:-1]
+        step_row[bnd_row] = (
+            starts_glob[1:] - (starts_glob[:-1] + lens_items[:-1]) + 1
         )
+        all_items_cat = g_items[np.cumsum(step_row)]
         starts = np.concatenate([[0], np.cumsum(lens_items)[:-1]])
-        all_items_cat = np.concatenate(item_lists)
         uniq_items_row, inv_items = np.unique(
             all_items_cat, return_inverse=True
         )
 
         desc = np.arange(uniq.size)[::-1]  # row indices in descending sid
+        # all clicks' valid items sorted in ONE call; per-click unique = a
+        # boundary mask over the sorted row (same result as np.unique)
+        valid_sorted = np.sort(np.asarray(valid_row)[cols], axis=1)
         for j, c in enumerate(cols):
             n_occ = int(offsets[j + 1])
             if n_occ == 0:
@@ -467,11 +483,26 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
             # wins -> earliest position survives)
             first_pos = np.empty(uniq_items_row.size, np.int64)
             first_pos[occ_rows[::-1]] = np.arange(total - 1, -1, -1)
-            present = scores > 0.0  # weights are strictly positive
-            ranked = uniq_items_row[present][
-                np.lexsort((first_pos[present], -scores[present]))
-            ]
-            out[c] = fill_ranked_topk(ranked, valid_row[c], topk)
+            # Rank the VALID side only: fill_ranked_topk(ranked, valid) keeps
+            # valid∩present items in ranked order, and ranked is exactly the
+            # present items sorted by (-score, first_pos) — so sorting the
+            # ≤C unique valid items by the same key pair is identical output
+            # without materializing the full-universe lexsort + isin filter
+            # (first_pos is unique per item, so the key pair is a total
+            # order and pre-sort order cannot matter).
+            vs = valid_sorted[j]
+            dedup = np.empty(vs.shape, bool)
+            dedup[0] = True
+            dedup[1:] = vs[1:] != vs[:-1]
+            vu = vs[dedup]
+            pos = np.searchsorted(uniq_items_row, vu)
+            pos_c = np.minimum(pos, max(uniq_items_row.size - 1, 0))
+            hit = (uniq_items_row[pos_c] == vu) & (scores[pos_c] > 0.0)
+            vu = vu[hit]
+            p = pos_c[hit]
+            order_v = np.lexsort((first_pos[p], -scores[p]))[:topk]
+            sel = vu[order_v]
+            out[c, : sel.size] = sel
 
     def _predict_per_click(
         self, users_ids, sessions_items, topk=5, valid_items=None
