@@ -100,6 +100,10 @@ def create_args_parser():
     # must divide batch_size; data*model must equal the device count.
     p.add_argument("--data_parallelism", type=int, default=0)
     p.add_argument("--model_parallelism", type=int, default=1)
+    # thread pool for the per-batch classical-baseline tier (-1 = auto: one
+    # thread per baseline capped at cpu_count; 0/1 = serial); outputs are
+    # bit-identical either way
+    p.add_argument("--benchmark_workers", type=int, default=-1)
     # remote artifact sync (reference GCS workflow shape without the cloud
     # SDK: nar_trainer_gcom.py:79-80, 450-459, 527-556): a store root dir +
     # a path under it.  --warmup_model_dir downloads a previous run's
@@ -280,6 +284,9 @@ def main(argv=None):
         artifact_store=store if args.sync_artifacts_to else None,
         artifact_remote_path=args.sync_artifacts_to,
         mesh_plan=mesh_plan,
+        benchmark_workers=(
+            None if args.benchmark_workers < 0 else args.benchmark_workers
+        ),
     )
     resume_ckpt = args.resume_checkpoint
     if store is not None and args.warmup_model_dir and not resume_ckpt:
