@@ -508,6 +508,15 @@ def eval_main():
     """
     import tempfile
 
+    platform_note = _backend_or_cpu_fallback()
+    if platform_note.startswith("cpu ("):
+        print(json.dumps({
+            "metric": "nar_eval_sessions_per_sec", "value": 0.0,
+            "unit": "sessions/s", "vs_baseline": 0.0,
+            "note": "TPU backend unreachable — eval bench needs the device",
+        }))
+        return
+
     import jax
 
     try:
@@ -653,6 +662,15 @@ def serve_main():
     the batch-1 p99 against a 50 ms online-serving budget (a typical news
     recsys SLA) — >1 means fits the budget with room.
     """
+    platform_note = _backend_or_cpu_fallback()
+    if platform_note.startswith("cpu ("):
+        print(json.dumps({
+            "metric": "nar_serve_p99_latency_ms_b1", "value": 0.0,
+            "unit": "ms", "vs_baseline": 0.0,
+            "note": "TPU backend unreachable — serve bench needs the device",
+        }))
+        return
+
     import jax
 
     try:
