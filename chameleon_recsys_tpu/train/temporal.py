@@ -164,9 +164,18 @@ class TemporalHarness:
         # pool.  Outputs are bit-identical to the serial order — no baseline
         # reads another's state.  ``benchmark_workers``: None = auto (one
         # thread per classifier, capped at cpu_count); 0/1 = serial.
+        # Exception: a classifier drawing from the process-global Python RNG
+        # (SkNN sampling_strategy='random') is order-sensitive across
+        # threads, so auto falls back to serial for determinism.
+        uses_global_rng = any(
+            getattr(c, "sampling_strategy", "") == "random"
+            for c in self.bench_classifiers
+        )
         if benchmark_workers is None:
-            benchmark_workers = min(
-                len(self.bench_classifiers), os.cpu_count() or 1
+            benchmark_workers = (
+                0
+                if uses_global_rng
+                else min(len(self.bench_classifiers), os.cpu_count() or 1)
             )
         self._bench_pool = (
             ThreadPoolExecutor(
@@ -175,6 +184,12 @@ class TemporalHarness:
             if benchmark_workers > 1 and len(self.bench_classifiers) > 1
             else None
         )
+        if self._bench_pool is not None:
+            # release the worker threads when the harness is collected (a
+            # sweep builds one harness per trial)
+            import weakref
+
+            weakref.finalize(self, self._bench_pool.shutdown, False)
         self.hours_trained = 0
         # Count of completed chunk evals — checkpointed so a resume from a
         # checkpoint taken between a chunk's train and its eval re-runs that

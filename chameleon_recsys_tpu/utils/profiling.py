@@ -61,8 +61,8 @@ class ThroughputMeter:
         self._t0 = None
 
 
-def device_op_totals(trace_dir: str) -> Dict[str, float]:
-    """Parse a JAX profiler trace dir → {device event name: total ms}.
+def device_op_durations(trace_dir: str) -> Dict[str, List[float]]:
+    """Parse a JAX profiler trace dir → {device event name: [durations ms]}.
 
     Only device-timeline complete events are counted (process names starting
     with ``/device:``), so the result reflects what the hardware executed —
@@ -88,23 +88,23 @@ def device_op_totals(trace_dir: str) -> Dict[str, float]:
         if e.get("ph") == "M" and e.get("name") == "process_name"
     }
     device_pids = {p for p, name in pids.items() if name.startswith("/device:")}
-    totals: Dict[str, float] = collections.defaultdict(float)
+    durs: Dict[str, List[float]] = collections.defaultdict(list)
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in device_pids:
-            totals[str(e.get("name", ""))] += float(e.get("dur", 0.0)) / 1e3
-    return dict(totals)
+            durs[str(e.get("name", ""))].append(float(e.get("dur", 0.0)) / 1e3)
+    return dict(durs)
 
 
-def device_time_ms(fn, args, iters: int = 10) -> float:
-    """Per-call device execution time of a jitted ``fn(*args)`` in ms,
-    measured from the profiler's device timeline (see device_op_totals).
+def device_op_totals(trace_dir: str) -> Dict[str, float]:
+    """{device event name: total ms} over a trace dir
+    (see device_op_durations for the methodology)."""
+    return {k: sum(v) for k, v in device_op_durations(trace_dir).items()}
 
-    Compiles/warms up first, traces ``iters`` calls ending with a host
-    fetch (which, unlike block_until_ready, is guaranteed to wait), and
-    returns the largest per-name ``jit*`` total divided by ``iters`` — the
-    top-level program events; nested per-op events have other names.
-    Returns 0.0 if no device events were captured (e.g. CPU backend).
-    """
+
+def _trace_call_durations(fn, args, iters: int) -> Dict[str, List[float]]:
+    """Warm up ``fn(*args)``, then trace ``iters`` calls and return per-name
+    device durations.  The trailing np.asarray is a host fetch — unlike
+    block_until_ready it is guaranteed to wait on remote-dispatch backends."""
     import tempfile
 
     import jax
@@ -120,63 +120,26 @@ def device_time_ms(fn, args, iters: int = 10) -> float:
             np.asarray(jax.tree_util.tree_leaves(out)[0])
         finally:
             jax.profiler.stop_trace()
-        totals = device_op_totals(td)
-    jit_totals = [v for k, v in totals.items() if k.startswith("jit")]
-    if not jit_totals:
-        return 0.0
-    return max(jit_totals) / iters
+        return device_op_durations(td)
 
 
 def device_call_times_ms(fn, args, iters: int = 50) -> List[float]:
-    """Per-call device execution times (ms) of a jitted ``fn(*args)`` —
-    the individual durations, so callers can compute latency percentiles.
-
-    Same methodology as device_time_ms (device-timeline events of the
-    dominant ``jit*`` program), but returns every call's duration instead
-    of the mean.  Empty list if no device events were captured.
-    """
-    import collections
-    import glob
-    import gzip
-    import json
-    import tempfile
-
-    import jax
-    import numpy as np
-
-    out = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(out)[0])  # warmup + compile
-    with tempfile.TemporaryDirectory() as td:
-        jax.profiler.start_trace(td)
-        try:
-            for _ in range(iters):
-                out = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(out)[0])
-        finally:
-            jax.profiler.stop_trace()
-        paths = glob.glob(td + "/**/*.trace.json.gz", recursive=True)
-        if not paths:
-            return []
-        with gzip.open(sorted(paths)[-1]) as f:
-            data = json.load(f)
-    events = data.get("traceEvents", [])
-    pids = {
-        e["pid"]: e.get("args", {}).get("name", "")
-        for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-    }
-    device_pids = {p for p, name in pids.items() if name.startswith("/device:")}
-    durs: Dict[str, List[float]] = collections.defaultdict(list)
-    for e in events:
-        if (
-            e.get("ph") == "X"
-            and e.get("pid") in device_pids
-            and str(e.get("name", "")).startswith("jit")
-        ):
-            durs[str(e["name"])].append(float(e.get("dur", 0.0)) / 1e3)
-    if not durs:
+    """Per-call device execution times (ms) of a jitted ``fn(*args)`` — the
+    dominant ``jit*`` program's individual event durations, so callers can
+    compute latency percentiles.  Empty list if no device events were
+    captured (e.g. CPU backend); nested per-op events have other names."""
+    durs = _trace_call_durations(fn, args, iters)
+    jit_durs = [v for k, v in durs.items() if k.startswith("jit")]
+    if not jit_durs:
         return []
-    return max(durs.values(), key=sum)
+    return max(jit_durs, key=sum)
+
+
+def device_time_ms(fn, args, iters: int = 10) -> float:
+    """Mean per-call device execution time of a jitted ``fn(*args)`` in ms
+    (see device_call_times_ms); 0.0 if no device events were captured."""
+    times = device_call_times_ms(fn, args, iters)
+    return sum(times) / iters if times else 0.0
 
 
 @contextlib.contextmanager

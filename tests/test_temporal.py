@@ -256,3 +256,30 @@ def test_parallel_benchmark_tier_matches_serial(harness_setup):
         if "elapsed" in key or "per_s" in key:  # wall-clock counters differ
             continue
         assert row_parallel[key] == v, key
+
+
+def test_parallel_tier_auto_serial_with_global_rng_baseline(harness_setup):
+    """A classifier drawing from the process-global Python RNG (SkNN
+    sampling_strategy='random') is order-sensitive across threads, so the
+    auto benchmark_workers setting must fall back to serial."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    from chameleon_recsys_tpu.baselines import SessionBasedKNNRecommender
+
+    h = TemporalHarness(
+        cfg, run_cfg, sess, art, corpus.ace_matrix, corpus.metadata,
+        benchmarks=[
+            BenchmarkSpec(RecentlyPopularRecommender, {}),
+            BenchmarkSpec(
+                SessionBasedKNNRecommender,
+                {
+                    "sessions_buffer_size": 100,
+                    "candidate_sessions_sample_size": 50,
+                    "sampling_strategy": "random",
+                    "nearest_neighbor_session_for_scoring": 20,
+                    "similarity": "cosine",
+                    "first_session_clicks_decay": "div",
+                },
+            ),
+        ],
+    )
+    assert h._bench_pool is None
