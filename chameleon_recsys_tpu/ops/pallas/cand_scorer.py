@@ -113,9 +113,9 @@ def _seg_reduce(seg, x):
         seg, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
 
-def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, out_ref, *, k,
-                alpha):
+def _fwd_compute(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+                 w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, *, k, alpha):
+    """Shared forward body → (scores [rows, 1] f32, nc [rows, C] input-dtype)."""
     bt = u_ref.shape[0]
     d = i_ref.dtype
     seg = _seg_matrix(bt, k, d)
@@ -143,13 +143,37 @@ def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
         + b3_ref[0], alpha,
     ).astype(d)
     # final Dense(1): a lane reduce beats a [32,1] matmul
-    out_ref[:] = jnp.sum(
+    scores = jnp.sum(
         x.astype(jnp.float32) * w4_ref[0], axis=-1, keepdims=True
     )
+    return scores, nc
+
+
+def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, out_ref, *, k,
+                alpha):
+    out_ref[:], _ = _fwd_compute(
+        i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
+
+
+def _fwd_stash_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
+                      out_ref, nc_ref, *, k, alpha):
+    """Forward that additionally stashes nc (the CAR tower output) for the
+    backward: regenerating nc there costs a [rows, C]×[C, C] MXU matmul +
+    a tanh pass per grid program (~2.5 ms/step at the G1 config), while the
+    stashed bf16 block is a DMA the backward hides behind its compute.  The
+    stashed value is bit-identical to what the backward used to recompute
+    (same inputs, same op order), so gradients are unchanged."""
+    out_ref[:], nc = _fwd_compute(
+        i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
+    nc_ref[:] = nc
 
 
 def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, g_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, nc_ref, g_ref,
                 di_ref, du_ref, dp_ref, dcarw_ref, dcarb_ref,
                 dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
                 dw4_ref, *, k, alpha):
@@ -175,13 +199,11 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     p_rep = _seg_broadcast(seg, p_ref[:])
 
     # ---- recompute forward activations (kept in VMEM) ----
+    # nc arrives stashed from the forward (bit-identical to recomputing it
+    # here — see _fwd_stash_kernel); only the matmul-free pieces recompute.
     a0 = i_ref[:] + u_rep
     pre = _leaky(a0, alpha).astype(d)
-    ncp = (
-        jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
-        + carb_ref[0]
-    )
-    nc = jnp.tanh(ncp).astype(pre.dtype)
+    nc = nc_ref[:]
     prod = nc * p_rep
     a1 = (
         jnp.dot(prod, w1_ref[:], preferred_element_type=jnp.float32)
@@ -287,32 +309,54 @@ def _row2(v):
 
 
 def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-              w4, alpha, interpret):
+              w4, alpha, interpret, stash_nc=False):
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     n_tiles = bt_total // _BT_TILE
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, alpha=alpha),
-        grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
-        in_specs=_specs(bt_total, k, c, m1, m2, m3),
-        out_specs=pl.BlockSpec((_BT_TILE * k, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
-      w3, _row2(b3), _row2(w4))
+    row_block = _BT_TILE * k
+    operands = (i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1),
+                w2, _row2(b2), w3, _row2(b3), _row2(w4))
+    if stash_nc:
+        out, nc = pl.pallas_call(
+            functools.partial(_fwd_stash_kernel, k=k, alpha=alpha),
+            grid=(n_tiles,),
+            out_shape=(
+                jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+                jax.ShapeDtypeStruct((bt_total * k, c), i_rows.dtype),
+            ),
+            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            out_specs=(
+                pl.BlockSpec((row_block, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(*operands)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, k=k, alpha=alpha),
+            grid=(n_tiles,),
+            out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(*operands)
+        nc = None
     out = out.reshape(bt_total, k)
     return out, (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-                 w4)
+                 w4, nc)
 
 
 def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
              alpha, interpret):
     return _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3,
-                     b3, w4, alpha, interpret)
+                     b3, w4, alpha, interpret, stash_nc=True)
 
 
 def _bwd_vjp(alpha, interpret, res, g):
-    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
+    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
+     nc) = res
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     tile = (
         _BT_TILE_BWD
@@ -356,6 +400,8 @@ def _bwd_vjp(alpha, interpret, res, g):
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
     )
     in_specs = _specs(bt_total, k, c, m1, m2, m3, tile=tile) + [
+        pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),                 # nc [N, C]
         pl.BlockSpec((row_block, 1), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),                 # g [N, 1]
     ]
@@ -367,7 +413,7 @@ def _bwd_vjp(alpha, interpret, res, g):
         out_specs=out_specs,
         interpret=interpret,
     )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
-      w3, _row2(b3), _row2(w4),
+      w3, _row2(b3), _row2(w4), nc,
       g.astype(jnp.float32).reshape(bt_total * k, 1))
     return (di, du, dp,
             dcw.astype(car_w.dtype), dcb[0].astype(car_b.dtype),
