@@ -16,6 +16,7 @@ round-trips); vs_baseline = measured / 1000.
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -420,17 +421,38 @@ def main():
         ):
             batches.append({k: jnp.asarray(v) for k, v in b.items()})
 
-    programs = build_nar_train(cfg, session_schema, article_schema)
-    _, _, state = nar_init_state(
-        cfg, session_schema, article_schema, batches[0], ace, metadata
-    )
+    def _build_and_warm(cfg):
+        """Compile + warm the train step (np.asarray is a host fetch —
+        unlike block_until_ready it is guaranteed to wait for execution
+        even on remote-dispatch backends)."""
+        programs = build_nar_train(cfg, session_schema, article_schema)
+        _, _, state = nar_init_state(
+            cfg, session_schema, article_schema, batches[0], ace, metadata
+        )
+        for b in batches[:2]:
+            state, metrics = programs.train_step(state, b, ace, metadata)
+        np.asarray(metrics["loss"])
+        return programs, state
 
-    # warmup: compile + populate the buffer (np.asarray is a host fetch —
-    # unlike block_until_ready it is guaranteed to wait for execution even
-    # on remote-dispatch backends)
-    for b in batches[:2]:
-        state, metrics = programs.train_step(state, b, ace, metadata)
-    np.asarray(metrics["loss"])
+    # The warmup is where kernel compiles can fail (Mosaic lowering /
+    # scoped-VMEM are only checked on the real chip — round 2's bench died
+    # here).  On ANY failure of the fused-scorer program, degrade to the
+    # XLA scorer and flag it in the JSON: the bench must always emit its
+    # line, never a stack trace.
+    fused_note = "ok" if cfg.use_pallas_scorer else "off"
+    try:
+        programs, state = _build_and_warm(cfg)
+    except Exception as e:  # noqa: BLE001 — any compile/execute error
+        if not cfg.use_pallas_scorer:
+            raise
+        import dataclasses
+
+        reason = " ".join(str(e).split())[:300]
+        fused_note = f"failed: {reason}"
+        print(f"# fused scorer failed, falling back to XLA scorer: {reason}",
+              file=sys.stderr)
+        cfg = dataclasses.replace(cfg, use_pallas_scorer=False)
+        programs, state = _build_and_warm(cfg)
 
     n_steps = 10 if cpu_fallback else 30
     t0 = time.perf_counter()
@@ -472,6 +494,7 @@ def main():
         "timing_source": timing_source,
         "wall_clock_sessions_per_sec": round(cfg.batch_size / wall_step, 1),
         "platform": platform_note,
+        "fused_scorer": fused_note,
     }
     # MFU: XLA's FLOP count for the whole step ÷ measured step time ÷ the
     # chip's bf16 peak.  This step is embedding/sort/state-update heavy, so

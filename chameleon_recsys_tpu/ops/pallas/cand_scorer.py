@@ -157,23 +157,8 @@ def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
         w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
 
 
-def _fwd_stash_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref,
-                      b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
-                      out_ref, nc_ref, *, k, alpha):
-    """Forward that additionally stashes nc (the CAR tower output) for the
-    backward: regenerating nc there costs a [rows, C]×[C, C] MXU matmul +
-    a tanh pass per grid program (~2.5 ms/step at the G1 config), while the
-    stashed bf16 block is a DMA the backward hides behind its compute.  The
-    stashed value is bit-identical to what the backward used to recompute
-    (same inputs, same op order), so gradients are unchanged."""
-    out_ref[:], nc = _fwd_compute(
-        i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
-        w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
-    nc_ref[:] = nc
-
-
 def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, nc_ref, g_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, g_ref,
                 di_ref, du_ref, dp_ref, dcarw_ref, dcarb_ref,
                 dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
                 dw4_ref, *, k, alpha):
@@ -199,11 +184,18 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     p_rep = _seg_broadcast(seg, p_ref[:])
 
     # ---- recompute forward activations (kept in VMEM) ----
-    # nc arrives stashed from the forward (bit-identical to recomputing it
-    # here — see _fwd_stash_kernel); only the matmul-free pieces recompute.
+    # nc is recomputed in-kernel (one extra [rows,C]x[C,C] MXU matmul +
+    # tanh per grid program) rather than stashed by the forward: a stashed
+    # [rows, C] residual block pushes the backward 556KB over the 16MB
+    # scoped-VMEM budget at the G1 config (see PERFORMANCE.md, round-2
+    # regression) — recompute keeps the live set inside the budget.
     a0 = i_ref[:] + u_rep
     pre = _leaky(a0, alpha).astype(d)
-    nc = nc_ref[:]
+    ncp = (
+        jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
+        + carb_ref[0]
+    )
+    nc = jnp.tanh(ncp).astype(pre.dtype)
     prod = nc * p_rep
     a1 = (
         jnp.dot(prod, w1_ref[:], preferred_element_type=jnp.float32)
@@ -309,54 +301,34 @@ def _row2(v):
 
 
 def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-              w4, alpha, interpret, stash_nc=False):
+              w4, alpha, interpret):
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     n_tiles = bt_total // _BT_TILE
     row_block = _BT_TILE * k
     operands = (i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1),
                 w2, _row2(b2), w3, _row2(b3), _row2(w4))
-    if stash_nc:
-        out, nc = pl.pallas_call(
-            functools.partial(_fwd_stash_kernel, k=k, alpha=alpha),
-            grid=(n_tiles,),
-            out_shape=(
-                jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
-                jax.ShapeDtypeStruct((bt_total * k, c), i_rows.dtype),
-            ),
-            in_specs=_specs(bt_total, k, c, m1, m2, m3),
-            out_specs=(
-                pl.BlockSpec((row_block, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((row_block, c), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            interpret=interpret,
-        )(*operands)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_fwd_kernel, k=k, alpha=alpha),
-            grid=(n_tiles,),
-            out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
-            in_specs=_specs(bt_total, k, c, m1, m2, m3),
-            out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-            interpret=interpret,
-        )(*operands)
-        nc = None
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, alpha=alpha),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+        in_specs=_specs(bt_total, k, c, m1, m2, m3),
+        out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*operands)
     out = out.reshape(bt_total, k)
     return out, (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-                 w4, nc)
+                 w4)
 
 
 def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
              alpha, interpret):
     return _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3,
-                     b3, w4, alpha, interpret, stash_nc=True)
+                     b3, w4, alpha, interpret)
 
 
 def _bwd_vjp(alpha, interpret, res, g):
-    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
-     nc) = res
+    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     tile = (
         _BT_TILE_BWD
@@ -400,8 +372,6 @@ def _bwd_vjp(alpha, interpret, res, g):
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
     )
     in_specs = _specs(bt_total, k, c, m1, m2, m3, tile=tile) + [
-        pl.BlockSpec((row_block, c), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),                 # nc [N, C]
         pl.BlockSpec((row_block, 1), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),                 # g [N, 1]
     ]
@@ -413,7 +383,7 @@ def _bwd_vjp(alpha, interpret, res, g):
         out_specs=out_specs,
         interpret=interpret,
     )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
-      w3, _row2(b3), _row2(w4), nc,
+      w3, _row2(b3), _row2(w4),
       g.astype(jnp.float32).reshape(bt_total * k, 1))
     return (di, du, dp,
             dcw.astype(car_w.dtype), dcb[0].astype(car_b.dtype),

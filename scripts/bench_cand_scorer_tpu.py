@@ -6,6 +6,14 @@ set includes the f32 weight-grad accumulators; smaller streamed blocks keep
 the pipeline overlapped).  Run on the real chip:
 
     python scripts/bench_cand_scorer_tpu.py
+
+Smoke gate (REQUIRED before committing any change under ops/pallas/ —
+see PERFORMANCE.md "Real-TPU kernel gate"): compiles and executes fwd+bwd
+once at the exact G1 bench shape (BT=4864, K=50, C=1024) on the live chip
+and checks the results are finite.  Interpret-mode tests cannot see Mosaic
+lowering rejections or scoped-VMEM budgets — this can (<1 min):
+
+    python scripts/bench_cand_scorer_tpu.py --smoke
 """
 import sys
 import time
@@ -51,6 +59,36 @@ def time_fn(fn, args, n=20):
     return device_time_ms(fn, args, iters=n)
 
 
+def smoke():
+    """Compile + run fwd and fwd+bwd once on the live device; exit nonzero
+    on any compile/execute failure or non-finite output."""
+    dev = jax.devices()[0]
+    print(f"smoke device: {dev} ({jax.default_backend()})", flush=True)
+    rng = np.random.RandomState(0)
+    args = make_inputs(rng)
+
+    t0 = time.time()
+    scores = jax.jit(cs.cand_score_pallas)(*args)
+    scores.block_until_ready()
+    assert np.isfinite(np.asarray(scores, np.float32)).all(), "fwd non-finite"
+    print(f"fwd  compile+run OK ({time.time() - t0:.1f}s) "
+          f"scores[0,0]={float(scores[0, 0]):+.5f}", flush=True)
+
+    def loss(*a):
+        return jnp.sum(cs.cand_score_pallas(*a))
+
+    t0 = time.time()
+    grads = jax.jit(jax.grad(loss, argnums=tuple(range(12))))(*args)
+    jax.block_until_ready(grads)
+    for i, gr in enumerate(grads):
+        assert np.isfinite(np.asarray(gr, np.float32)).all(), \
+            f"bwd grad {i} non-finite"
+    print(f"bwd  compile+run OK ({time.time() - t0:.1f}s) "
+          f"|dcar_w|={float(jnp.abs(grads[3]).sum()):.4f}", flush=True)
+    print(f"SMOKE PASS  BT={BT} K={K} C={C} tile_fwd={cs._BT_TILE} "
+          f"tile_bwd={cs._BT_TILE_BWD}", flush=True)
+
+
 def main():
     rng = np.random.RandomState(0)
     args = make_inputs(rng)
@@ -75,4 +113,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--smoke" in sys.argv:
+        smoke()
+    else:
+        main()
