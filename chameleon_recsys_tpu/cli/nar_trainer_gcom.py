@@ -265,9 +265,11 @@ def main(argv=None):
 
     store = None
     if args.artifact_store_root:
-        from ..utils.artifact_store import LocalArtifactStore
+        # gs://bucket/prefix selects the GCS backend; a plain path the
+        # local-filesystem one (utils/artifact_store.py::open_artifact_store)
+        from ..utils.artifact_store import open_artifact_store
 
-        store = LocalArtifactStore(args.artifact_store_root)
+        store = open_artifact_store(args.artifact_store_root)
 
     harness = TemporalHarness(
         cfg,

@@ -81,6 +81,90 @@ class LocalArtifactStore:
         return self._resolve(remote_path).exists()
 
 
+class GCSArtifactStore:
+    """Google Cloud Storage backend — the reference's actual remote channel
+    (nar_module/nar/gcs_utils.py:22-109 moves bytes to/from ``gs://``).
+
+    ``root`` is a ``gs://bucket[/prefix]`` URL; ``remote_path`` arguments are
+    joined under it.  The ``google-cloud-storage`` package is imported
+    lazily (it is optional); tests and alternative clients inject a
+    compatible ``client`` (needs ``bucket(name)`` →
+    ``list_blobs(prefix=)`` / ``blob(name)`` with
+    ``upload_from_filename`` / ``download_to_filename`` / ``exists``).
+    """
+
+    def __init__(self, root: str, client=None):
+        if not root.startswith("gs://"):
+            raise ValueError(f"GCSArtifactStore root must be gs://…: {root}")
+        rest = root[len("gs://"):]
+        self.bucket_name, _, prefix = rest.partition("/")
+        if not self.bucket_name:
+            raise ValueError(f"no bucket in {root}")
+        self.prefix = prefix.strip("/")
+        if client is None:
+            try:
+                from google.cloud import storage  # optional dependency
+            except ImportError as e:  # pragma: no cover - environment-specific
+                raise ImportError(
+                    "gs:// artifact stores need the google-cloud-storage "
+                    "package (pip install google-cloud-storage), or pass an "
+                    "explicit client="
+                ) from e
+            client = storage.Client()
+        self._bucket = client.bucket(self.bucket_name)
+
+    def _key(self, remote_path: str) -> str:
+        remote_path = str(remote_path).strip("/")
+        return f"{self.prefix}/{remote_path}" if self.prefix else remote_path
+
+    def upload_dir(self, local_dir, remote_path, filename_pattern=None):
+        base = self._key(remote_path)
+        local_dir = Path(local_dir)
+        uploaded = []
+        if not local_dir.exists():
+            return uploaded
+        for item in sorted(local_dir.rglob("*")):
+            if not item.is_file():
+                continue
+            if filename_pattern and filename_pattern not in item.name:
+                continue
+            key = f"{base}/{item.relative_to(local_dir).as_posix()}"
+            self._bucket.blob(key).upload_from_filename(str(item))
+            uploaded.append(f"gs://{self.bucket_name}/{key}")
+        return uploaded
+
+    def download_dir(self, remote_path, local_dir, filename_pattern=None):
+        base = self._key(remote_path)
+        local_dir = Path(local_dir)
+        fetched = []
+        for blob in self._bucket.list_blobs(prefix=base + "/"):
+            rel = blob.name[len(base) + 1:]
+            if not rel or rel.endswith("/"):
+                continue
+            if filename_pattern and filename_pattern not in rel.rsplit("/", 1)[-1]:
+                continue
+            target = local_dir / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            blob.download_to_filename(str(target))
+            fetched.append(str(target))
+        return fetched
+
+    def exists(self, remote_path) -> bool:
+        base = self._key(remote_path)
+        if self._bucket.blob(base).exists():
+            return True
+        return any(True for _ in self._bucket.list_blobs(prefix=base + "/"))
+
+
+def open_artifact_store(root: str, client=None) -> ArtifactStore:
+    """Factory keyed on the root URL scheme: ``gs://…`` → GCS backend,
+    anything else → local filesystem (the reference switches the same way on
+    its --model_dir/--gcs flags, nar_utils.py:42-77)."""
+    if root.startswith("gs://"):
+        return GCSArtifactStore(root, client=client)
+    return LocalArtifactStore(root)
+
+
 def warm_start_model_dir(
     store: ArtifactStore, remote_path: str, model_dir
 ) -> List[str]:

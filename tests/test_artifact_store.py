@@ -95,3 +95,115 @@ def test_harness_sync_and_warm_start(tmp_path):
 
     # warm-start from a missing path is a clean no-op
     assert warm_start_model_dir(store, "jobs/nope", tmp_path / "empty") == []
+
+
+# ---------------------------------------------------------------------------
+# GCS backend against an in-memory fake client (the protocol twin of the
+# local store; reference gcs_utils.py:22-109).
+# ---------------------------------------------------------------------------
+
+class _FakeBlob:
+    def __init__(self, store, name):
+        self._store, self.name = store, name
+
+    def upload_from_filename(self, path):
+        with open(path, "rb") as f:
+            self._store[self.name] = f.read()
+
+    def download_to_filename(self, path):
+        with open(path, "wb") as f:
+            f.write(self._store[self.name])
+
+    def exists(self):
+        return self.name in self._store
+
+
+class _FakeBucket:
+    def __init__(self, store):
+        self._store = store
+
+    def blob(self, name):
+        return _FakeBlob(self._store, name)
+
+    def list_blobs(self, prefix=""):
+        return [
+            _FakeBlob(self._store, n)
+            for n in sorted(self._store)
+            if n.startswith(prefix)
+        ]
+
+
+class _FakeGCSClient:
+    def __init__(self):
+        self.blobs = {}
+
+    def bucket(self, name):
+        return _FakeBucket(self.blobs)
+
+
+def _tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "metrics.csv").write_text("a,b\n1,2\n")
+    (src / "sub" / "log.json").write_text("{}")
+    (src / "model.ckpt").write_text("weights")
+    return src
+
+
+def test_gcs_store_roundtrip(tmp_path):
+    from chameleon_recsys_tpu.utils.artifact_store import GCSArtifactStore
+
+    client = _FakeGCSClient()
+    store = GCSArtifactStore("gs://bucket/exp", client=client)
+    assert isinstance(store, ArtifactStore)
+    src = _tree(tmp_path)
+
+    uploaded = store.upload_dir(src, "jobs/run1")
+    assert uploaded == [
+        "gs://bucket/exp/jobs/run1/metrics.csv",
+        "gs://bucket/exp/jobs/run1/model.ckpt",
+        "gs://bucket/exp/jobs/run1/sub/log.json",
+    ]
+    assert store.exists("jobs/run1")
+    assert not store.exists("jobs/other")
+
+    dst = tmp_path / "dst"
+    downloaded = store.download_dir("jobs/run1", dst)
+    assert len(downloaded) == 3
+    assert (dst / "metrics.csv").read_text() == "a,b\n1,2\n"
+    assert (dst / "sub" / "log.json").read_text() == "{}"
+
+
+def test_gcs_store_pattern_filter(tmp_path):
+    from chameleon_recsys_tpu.utils.artifact_store import GCSArtifactStore
+
+    store = GCSArtifactStore("gs://bucket", client=_FakeGCSClient())
+    src = _tree(tmp_path)
+    up = store.upload_dir(src, "r", filename_pattern="ckpt")
+    assert up == ["gs://bucket/r/model.ckpt"]
+    store.upload_dir(src, "r")
+    down = store.download_dir("r", tmp_path / "out", filename_pattern=".csv")
+    assert [os.path.basename(p) for p in down] == ["metrics.csv"]
+
+
+def test_gcs_warm_start_and_factory(tmp_path):
+    from chameleon_recsys_tpu.utils.artifact_store import (
+        GCSArtifactStore,
+        LocalArtifactStore,
+        open_artifact_store,
+    )
+
+    client = _FakeGCSClient()
+    assert isinstance(
+        open_artifact_store("gs://b/x", client=client), GCSArtifactStore
+    )
+    assert isinstance(open_artifact_store(str(tmp_path)), LocalArtifactStore)
+
+    store = open_artifact_store("gs://bucket/root", client=client)
+    src = _tree(tmp_path)
+    store.upload_dir(src, "prev_job/model")
+    fetched = warm_start_model_dir(store, "prev_job/model", tmp_path / "md")
+    assert len(fetched) == 3
+    assert (tmp_path / "md" / "model.ckpt").read_text() == "weights"
+    # missing remote → empty, no error
+    assert warm_start_model_dir(store, "nope", tmp_path / "md2") == []
