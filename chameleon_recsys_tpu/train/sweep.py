@@ -50,16 +50,26 @@ def run_sweep(
     objective: str = "mrr_at_n",
     max_trials: Optional[int] = None,
     seed: int = 42,
+    max_parallel: int = 1,
 ) -> List[TrialResult]:
     """Run trials, returning results sorted by objective descending (goal:
-    MAXIMIZE, hypertuning yaml:2-8)."""
+    MAXIMIZE, hypertuning yaml:2-8).
+
+    ``max_parallel`` > 1 runs that many trials concurrently on a thread
+    pool — the reference's ``maxParallelTrials: 2``
+    (nar_mlengine_hypertuning.yaml:8).  Trials are independent (own
+    harness, own state, own trial subdirectory) and the heavy work is
+    jitted device computation / GIL-released numpy, so results are
+    identical to the serial order.  Caveat: a benchmark drawing from the
+    process-global Python RNG (SkNN sampling_strategy='random') is
+    order-sensitive across threads — keep such sweeps serial.
+    """
     trials = grid(param_grid)
     if max_trials is not None and len(trials) > max_trials:
         rng = random.Random(seed)
         trials = rng.sample(trials, max_trials)
 
-    results: List[TrialResult] = []
-    for trial_id, overrides in enumerate(trials):
+    def run_trial(trial_id: int, overrides: Dict) -> TrialResult:
         cfg = dataclasses.replace(base_cfg, **overrides)
         trial_run_cfg = dataclasses.replace(
             run_cfg, model_dir=str(Path(run_cfg.model_dir) / f"trial_{trial_id:03d}")
@@ -73,8 +83,16 @@ def run_sweep(
             if rows
             else float("-inf")
         )
-        results.append(TrialResult(trial_id, overrides, value, rows[-1] if rows else {}))
         log.info("trial %d %s -> %s=%.5f", trial_id, overrides, objective, value)
+        return TrialResult(trial_id, overrides, value, rows[-1] if rows else {})
+
+    if max_parallel > 1 and len(trials) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            results = list(pool.map(run_trial, range(len(trials)), trials))
+    else:
+        results = [run_trial(i, o) for i, o in enumerate(trials)]
 
     results.sort(key=lambda r: -r.objective)
     out = Path(run_cfg.model_dir)

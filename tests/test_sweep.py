@@ -50,3 +50,50 @@ def test_run_sweep_orders_by_objective(tmp_path):
     with open(tmp_path / "sweep_results.json") as f:
         payload = json.load(f)
     assert len(payload) == 2
+
+
+def test_run_sweep_parallel_matches_serial(tmp_path):
+    """max_parallel=2 (the reference's maxParallelTrials,
+    nar_mlengine_hypertuning.yaml:8) must produce the same results file as
+    the serial order — trials are fully independent."""
+    cfg = tiny_nar_config(batch_size=8, max_session_length=6)
+    art = tiny_article_schema(120)
+    sess = tiny_session_schema(120)
+    corpus = make_synthetic_corpus(art, ace_dim=8)
+
+    def harness_factory(trial_cfg, trial_run_cfg):
+        return TemporalHarness(
+            trial_cfg, trial_run_cfg, sess, art, corpus.ace_matrix,
+            corpus.metadata,
+        )
+
+    def hour_source(h):
+        return synthetic_hour_sessions(corpus, sess, h, 8, cfg.max_session_length)
+
+    def run(mode_dir, max_parallel):
+        run_cfg = RunConfig(
+            model_dir=str(tmp_path / mode_dir), training_hours_for_each_eval=1
+        )
+        return run_sweep(
+            cfg, run_cfg, {"rnn_units": [8, 16]}, harness_factory,
+            hour_source, hours=range(2), objective="mrr_at_n",
+            max_parallel=max_parallel,
+        )
+
+    serial = run("serial", 1)
+    parallel = run("parallel", 2)
+    assert [r.trial_id for r in serial] == [r.trial_id for r in parallel]
+    assert [r.overrides for r in serial] == [r.overrides for r in parallel]
+    assert [r.objective for r in serial] == [r.objective for r in parallel]
+    def load(mode_dir):
+        with open(tmp_path / mode_dir / "sweep_results.json") as f:
+            rows = json.load(f)
+        # wall-clock throughput fields legitimately differ when trials
+        # share the host; every quality metric must be identical
+        for r in rows:
+            for k in list(r["metrics"]):
+                if k.startswith("train_") and k != "train_steps":
+                    r["metrics"].pop(k)
+        return rows
+
+    assert load("serial") == load("parallel")
