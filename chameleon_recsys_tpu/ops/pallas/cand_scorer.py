@@ -51,6 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 _BT_TILE = 8          # forward (and the model's divisibility gate, via LCM)
 _BT_TILE_BWD = 8      # must stay a multiple of 8 (sublane constraint)
 
+# Stash-nc variant: the forward additionally writes the CAR output nc
+# ([N, C] bf16, ~500 MB HBM residual at the G1 config) and the backward
+# consumes it instead of recomputing it (one [rows,C]x[C,C] MXU matmul +
+# tanh per grid program).  The extra [tile*K, C] backward input block needs
+# the per-kernel VMEM limit raised above the 16 MB scoped default (v5e has
+# 128 MB VMEM; see _VMEM_LIMIT_BYTES) — with the default limit the stash
+# variant is a hard compile failure (round-2 regression, PERFORMANCE.md).
+# Off by default pending a measured win on the grad path; flip via
+# scripts/bench_cand_scorer_tpu.py --ab-stash.
+_STASH_NC = False
+_VMEM_LIMIT_BYTES = 32 * 1024 * 1024
+
 
 def _leaky(x, alpha):
     # compare in f32: Mosaic has no bf16 vector compare on this target
@@ -157,14 +169,14 @@ def _fwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
         w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
 
 
-def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
-                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, g_ref,
-                di_ref, du_ref, dp_ref, dcarw_ref, dcarb_ref,
-                dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
-                dw4_ref, *, k, alpha):
+def _bwd_body(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+              w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, nc_ref, g_ref,
+              di_ref, du_ref, dp_ref, dcarw_ref, dcarb_ref,
+              dw1_ref, db1_ref, dw2_ref, db2_ref, dw3_ref, db3_ref,
+              dw4_ref, *, k, alpha):
+    """Backward math.  ``nc_ref`` is the stashed CAR output block when the
+    stash variant is on (``_STASH_NC``), else None → recompute in-kernel."""
     bt = u_ref.shape[0]
-    c = u_ref.shape[1]
-    rows = bt * k
 
     @pl.when(pl.program_id(0) == 0)
     def _zero():
@@ -184,18 +196,17 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     p_rep = _seg_broadcast(seg, p_ref[:])
 
     # ---- recompute forward activations (kept in VMEM) ----
-    # nc is recomputed in-kernel (one extra [rows,C]x[C,C] MXU matmul +
-    # tanh per grid program) rather than stashed by the forward: a stashed
-    # [rows, C] residual block pushes the backward 556KB over the 16MB
-    # scoped-VMEM budget at the G1 config (see PERFORMANCE.md, round-2
-    # regression) — recompute keeps the live set inside the budget.
     a0 = i_ref[:] + u_rep
     pre = _leaky(a0, alpha).astype(d)
-    ncp = (
-        jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
-        + carb_ref[0]
-    )
-    nc = jnp.tanh(ncp).astype(pre.dtype)
+    if nc_ref is not None:
+        # stashed by the forward — bit-identical to the recompute below
+        nc = nc_ref[:]
+    else:
+        ncp = (
+            jnp.dot(pre, carw_ref[:], preferred_element_type=jnp.float32)
+            + carb_ref[0]
+        )
+        nc = jnp.tanh(ncp).astype(pre.dtype)
     prod = nc * p_rep
     a1 = (
         jnp.dot(prod, w1_ref[:], preferred_element_type=jnp.float32)
@@ -253,6 +264,31 @@ def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
     du_ref[:] = _seg_reduce(seg, da0).astype(du_ref.dtype)
 
 
+def _bwd_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, g_ref, *outs,
+                k, alpha):
+    _bwd_body(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+              w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, None, g_ref, *outs,
+              k=k, alpha=alpha)
+
+
+def _bwd_kernel_stash(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
+                      nc_ref, g_ref, *outs, k, alpha):
+    _bwd_body(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+              w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, nc_ref, g_ref, *outs,
+              k=k, alpha=alpha)
+
+
+def _fwd_stash_kernel(i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref,
+                      b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, w4_ref,
+                      out_ref, nc_ref, *, k, alpha):
+    out_ref[:], nc = _fwd_compute(
+        i_ref, u_ref, p_ref, carw_ref, carb_ref, w1_ref, b1_ref,
+        w2_ref, b2_ref, w3_ref, b3_ref, w4_ref, k=k, alpha=alpha)
+    nc_ref[:] = nc
+
+
 def _specs(bt_total, k, c, m1, m2, m3, tile=_BT_TILE):
     row_block = tile * k
     return [
@@ -301,34 +337,58 @@ def _row2(v):
 
 
 def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-              w4, alpha, interpret):
+              w4, alpha, interpret, stash_nc=False):
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     n_tiles = bt_total // _BT_TILE
     row_block = _BT_TILE * k
     operands = (i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1),
                 w2, _row2(b2), w3, _row2(b3), _row2(w4))
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, k=k, alpha=alpha),
-        grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
-        in_specs=_specs(bt_total, k, c, m1, m2, m3),
-        out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(*operands)
+    if stash_nc:
+        out, nc = pl.pallas_call(
+            functools.partial(_fwd_stash_kernel, k=k, alpha=alpha),
+            grid=(n_tiles,),
+            out_shape=(
+                jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+                jax.ShapeDtypeStruct((bt_total * k, c), i_rows.dtype),
+            ),
+            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            out_specs=(
+                pl.BlockSpec((row_block, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+            interpret=interpret,
+        )(*operands)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel, k=k, alpha=alpha),
+            grid=(n_tiles,),
+            out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
+            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES),
+            interpret=interpret,
+        )(*operands)
+        nc = None
     out = out.reshape(bt_total, k)
     return out, (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
-                 w4)
+                 w4, nc)
 
 
 def _fwd_vjp(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
              alpha, interpret):
     return _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3,
-                     b3, w4, alpha, interpret)
+                     b3, w4, alpha, interpret, stash_nc=_STASH_NC)
 
 
 def _bwd_vjp(alpha, interpret, res, g):
-    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4) = res
+    (i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3, w4,
+     nc) = res
     bt_total, k, c, m1, m2, m3 = _shapes(i_rows, u_pre, w1, w2, w3)
     tile = (
         _BT_TILE_BWD
@@ -371,20 +431,33 @@ def _bwd_vjp(alpha, interpret, res, g):
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m3), shared, memory_space=pltpu.VMEM),
     )
-    in_specs = _specs(bt_total, k, c, m1, m2, m3, tile=tile) + [
+    in_specs = _specs(bt_total, k, c, m1, m2, m3, tile=tile)
+    operands = [i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1),
+                w2, _row2(b2), w3, _row2(b3), _row2(w4)]
+    if nc is not None:
+        in_specs.append(
+            pl.BlockSpec((row_block, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM))             # nc [N, C]
+        operands.append(nc)
+        kernel = _bwd_kernel_stash
+    else:
+        kernel = _bwd_kernel
+    in_specs.append(
         pl.BlockSpec((row_block, 1), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),                 # g [N, 1]
-    ]
+                     memory_space=pltpu.VMEM))                 # g [N, 1]
+    operands.append(g.astype(jnp.float32).reshape(bt_total * k, 1))
     (di, du, dp, dcw, dcb, dw1, db1, dw2, db2, dw3, db3, dw4) = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, alpha=alpha),
+        functools.partial(kernel, k=k, alpha=alpha),
         grid=(n_tiles,),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
+        # above the 16 MB scoped default: tiles >8 (and the stash variant's
+        # extra input block) need the headroom; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
-    )(i_rows, u_pre, pred, car_w, _row2(car_b), w1, _row2(b1), w2, _row2(b2),
-      w3, _row2(b3), _row2(w4),
-      g.astype(jnp.float32).reshape(bt_total * k, 1))
+    )(*operands)
     return (di, du, dp,
             dcw.astype(car_w.dtype), dcb[0].astype(car_b.dtype),
             dw1.astype(w1.dtype), db1[0].astype(b1.dtype),

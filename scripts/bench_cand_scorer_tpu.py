@@ -89,6 +89,23 @@ def smoke():
           f"tile_bwd={cs._BT_TILE_BWD}", flush=True)
 
 
+def ab_stash():
+    """A/B the grad path: recompute-nc backward vs stash-nc backward (the
+    latter with the raised per-kernel VMEM limit).  Decides _STASH_NC."""
+    rng = np.random.RandomState(0)
+    args = make_inputs(rng)
+
+    def loss(*a):
+        return jnp.sum(cs.cand_score_pallas(*a))
+
+    grad = jax.grad(loss, argnums=tuple(range(12)))
+    for stash in (False, True):
+        cs._STASH_NC = stash
+        g = jax.jit(grad)
+        ms = time_fn(g, args)
+        print(f"fwd+bwd stash_nc={stash}: {ms:.2f} ms", flush=True)
+
+
 def main():
     rng = np.random.RandomState(0)
     args = make_inputs(rng)
@@ -101,11 +118,14 @@ def main():
 
     grad = jax.grad(loss, argnums=tuple(range(12)))
 
-    fwd_j = jax.jit(fwd)
-    print(f"forward (tile {cs._BT_TILE}): {time_fn(fwd_j, args):.2f} ms", flush=True)
-
-    # sublane constraint: backward tiles must be multiples of 8
-    for tile in (8, 16):
+    cs._VMEM_LIMIT_BYTES = 100 * 1024 * 1024  # experiment headroom
+    # sublane constraint: tiles must be multiples of 8 AND divide BT=4864
+    for tile in (8, 16, 32):
+        cs._BT_TILE = tile
+        fwd_j = jax.jit(fwd)
+        print(f"forward tile={tile}: {time_fn(fwd_j, args):.2f} ms", flush=True)
+    cs._BT_TILE = 8
+    for tile in (8, 16, 32):
         cs._BT_TILE_BWD = tile
         g = jax.jit(grad)
         ms = time_fn(g, args)
@@ -115,5 +135,7 @@ def main():
 if __name__ == "__main__":
     if "--smoke" in sys.argv:
         smoke()
+    elif "--ab-stash" in sys.argv:
+        ab_stash()
     else:
         main()

@@ -60,3 +60,22 @@ def test_bf16_inputs_supported():
     assert out.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gradients_match_autodiff_stash_variant(monkeypatch):
+    """The stash-nc variant must produce bit-identical gradients to the
+    recompute path (same inputs, same op order for nc)."""
+    from chameleon_recsys_tpu.ops.pallas import cand_scorer as cs
+
+    inp = _make_inputs(bt_total=_BT_TILE * 2, k=5, c=32, m1=16, m2=8, m3=8)
+    vals = list(inp.values())
+
+    def loss(*args):
+        return jnp.sum(jnp.tanh(cand_score_pallas(*args, 0.2, True)))
+
+    g_rec = jax.grad(loss, argnums=tuple(range(len(vals))))(*vals)
+    monkeypatch.setattr(cs, "_STASH_NC", True)
+    g_sta = jax.grad(loss, argnums=tuple(range(len(vals))))(*vals)
+    for name, a, b in zip(inp.keys(), g_sta, g_rec):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
