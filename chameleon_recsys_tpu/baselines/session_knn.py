@@ -331,13 +331,24 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
         Output is identical to the per-click path (``_predict_per_click``,
         kept as the test oracle) — every accumulation runs in the same
         floating-point ORDER, so similarities are bit-equal and tie/boundary
-        behavior at the neighbor cut matches exactly."""
+        behavior at the neighbor cut matches exactly.
+
+        When the native predictor is available (native/sknn.cc — the same
+        algorithm with the same float64 op order, rows on a thread pool) it
+        replaces the numpy row loop, which is bound by per-click
+        numpy-dispatch overhead at G1 scale; ``use_native: False`` in params
+        forces the numpy path (the oracle chain stays
+        native == numpy batched == per-click)."""
         if self.sampling_strategy != "recent":
             # "random" draws from Python's RNG per click — per-call stream
             # differs between the two paths, so keep the oracle path
             return self._predict_per_click(
                 users_ids, sessions_items, topk=topk, valid_items=valid_items
             )
+        if self.params.get("use_native", True):
+            out = self._predict_native(sessions_items, valid_items, topk)
+            if out is not None:
+                return out
         sessions_items = np.asarray(sessions_items)
         preds = np.zeros(
             (sessions_items.shape[0], sessions_items.shape[1], topk), np.int64
@@ -357,6 +368,26 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
                     state,
                 )
         return preds
+
+    def _predict_native(self, sessions_items, valid_items, topk):
+        """Dispatch to the C++ predictor; None when it cannot build (no
+        compiler) so the caller falls through to the numpy row loop."""
+        from ..native import sknn as native_sknn
+
+        if not native_sknn.native_available():
+            return None
+        state = self._state()
+        return native_sknn.predict_batch(
+            self._vote_table(state),
+            lambda item: self._item_arr(state, item),
+            np.asarray(sessions_items),
+            valid_items,
+            sample_size=self.candidate_sample_size,
+            nearest_neighbors=self.nearest_neighbors,
+            topk=topk,
+            similarity=self.similarity,
+            decay=self.first_clicks_decay,
+        )
 
     def _predict_row(self, row, cols, valid_row, out, topk, state):
         def item_arr(item) -> np.ndarray:

@@ -217,3 +217,57 @@ def test_retrain_sid_with_different_items_keeps_index_consistent():
     a = clf.predict(None, items, topk=5, valid_items=valid)
     b = clf._predict_per_click(None, items, topk=5, valid_items=valid)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) predictor — must be id-level identical to the numpy batched
+# path (which is itself oracle-equal to the per-click transliteration).
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from chameleon_recsys_tpu.native import sknn as native_sknn
+
+    return native_sknn.native_available()
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+@pytest.mark.parametrize("decay,sim", [
+    ("div", "cosine"), ("same", "cosine"), ("div", "jaccard"),
+    ("log", "cosine"), ("quadratic", "jaccard"), ("linear", "cosine"),
+])
+def test_native_predict_matches_numpy(decay, sim):
+    rng = np.random.RandomState(7)
+    clf = _make_clf(first_session_clicks_decay=decay, similarity=sim,
+                    candidate_sessions_sample_size=12,
+                    nearest_neighbor_session_for_scoring=6)
+    _train_random(clf, rng, n_batches=10)
+    for trial in range(5):
+        items = rng.randint(0, NUM_ITEMS, size=(6, 5)).astype(np.int64)
+        items[trial % 6] = 0  # an all-padding row
+        valid = rng.randint(1, NUM_ITEMS, size=(6, 5, 9)).astype(np.int64)
+        clf.params["use_native"] = True
+        a = clf.predict(None, items, topk=4, valid_items=valid)
+        clf.params["use_native"] = False
+        b = clf.predict(None, items, topk=4, valid_items=valid)
+        c = clf._predict_per_click(None, items, topk=4, valid_items=valid)
+        np.testing.assert_array_equal(b, c, err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(a, b, err_msg=f"trial {trial}")
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+def test_native_predict_no_cut_and_empty_buffer():
+    rng = np.random.RandomState(11)
+    clf = _make_clf(candidate_sessions_sample_size=0)  # no candidate cut
+    items = rng.randint(0, NUM_ITEMS, size=(4, 5)).astype(np.int64)
+    valid = rng.randint(1, NUM_ITEMS, size=(4, 5, 8)).astype(np.int64)
+    # empty buffer: all-zero predictions, no crash
+    clf.params["use_native"] = True
+    np.testing.assert_array_equal(
+        clf.predict(None, items, topk=3, valid_items=valid), 0
+    )
+    _train_random(clf, rng, n_batches=8)
+    a = clf.predict(None, items, topk=3, valid_items=valid)
+    clf.params["use_native"] = False
+    b = clf.predict(None, items, topk=3, valid_items=valid)
+    np.testing.assert_array_equal(a, b)
+    assert a.any()
