@@ -113,6 +113,11 @@ def main(argv=None):
                    help="pattern with * for the hour index")
     p.add_argument("--output_nar_preprocessing_resources_path", required=True)
     p.add_argument("--timezone", default="Europe/Oslo")
+    p.add_argument(
+        "--num_workers", type=int, default=1,
+        help="parallel per-hour TFRecord export (threads; gzip releases "
+        "the GIL) — the reference runs this step on a Spark cluster",
+    )
     p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = p.parse_args(argv)
     if getattr(args, "platform", ""):
@@ -216,9 +221,27 @@ def main(argv=None):
         "item_clicked": max_item + 1,
     }
     schema = adressa_session_schema(cardinalities)
-    for hour, sessions in sorted(by_hour.items()):
-        out = args.output_sessions_tfrecords_path.replace("*", f"{hour:04d}")
-        write_sessions_tfrecord(sessions, schema, out)
+    hours_sorted = sorted(by_hour.items())
+    workers = getattr(args, "num_workers", 1)
+    if workers > 1 and len(hours_sorted) > 1:
+        # per-hour writes are independent and gzip compression releases the
+        # GIL, so a thread pool parallelizes the export step (the reference
+        # runs this on a Spark cluster; see SURVEY.md §2.2)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def write_one(item):
+            hour, sessions = item
+            out = args.output_sessions_tfrecords_path.replace(
+                "*", f"{hour:04d}"
+            )
+            write_sessions_tfrecord(sessions, schema, out)
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(write_one, hours_sorted))
+    else:
+        for hour, sessions in hours_sorted:
+            out = args.output_sessions_tfrecords_path.replace("*", f"{hour:04d}")
+            write_sessions_tfrecord(sessions, schema, out)
     serialize(
         args.output_nar_preprocessing_resources_path,
         {

@@ -69,11 +69,26 @@ def load_sessions_from_csv(path, tz="America/Sao_Paulo"):
     return sessions
 
 
+def _process_hour(hour_index: int, path: str, output_pattern: str) -> int:
+    """One hour file → one TFRecord (self-contained for a worker process)."""
+    schema = gcom_session_schema()
+    sessions = load_sessions_from_csv(path)
+    out = output_pattern.replace("*", f"{hour_index:03d}")
+    write_sessions_tfrecord(sessions, schema, out)
+    return hour_index
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--input_clicks_csv_path_regex", required=True)
     parser.add_argument("--output_sessions_tfrecords_path", required=True)
     parser.add_argument("--number_hours_to_preprocess", type=int, default=-1)
+    parser.add_argument(
+        "--num_workers", type=int, default=1,
+        help="hour files are independent (the reference distributes this "
+        "step over a Dataproc/Spark cluster) — N>1 processes them on a "
+        "local process pool; output files are byte-identical to serial",
+    )
     parser.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     args = parser.parse_args(argv)
     if getattr(args, "platform", ""):
@@ -81,18 +96,31 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
 
-    schema = gcom_session_schema()
     files = sorted(glob.glob(args.input_clicks_csv_path_regex))
-    for hour_index, path in enumerate(files):
-        sessions = load_sessions_from_csv(path)
-        out = args.output_sessions_tfrecords_path.replace(
-            "*", f"{hour_index:03d}"
-        )
-        write_sessions_tfrecord(sessions, schema, out)
-        if hour_index % 10 == 0:
-            print(f"Exported {hour_index + 1} TFRecord files")
-        if 0 <= args.number_hours_to_preprocess == hour_index:
-            break
+    if 0 <= args.number_hours_to_preprocess < len(files):
+        files = files[: args.number_hours_to_preprocess + 1]
+
+    if args.num_workers > 1 and len(files) > 1:
+        from concurrent.futures import ProcessPoolExecutor, as_completed
+
+        with ProcessPoolExecutor(max_workers=args.num_workers) as pool:
+            futures = [
+                pool.submit(
+                    _process_hour, i, p, args.output_sessions_tfrecords_path
+                )
+                for i, p in enumerate(files)
+            ]
+            done = 0
+            for f in as_completed(futures):
+                f.result()  # re-raise worker errors
+                done += 1
+                if done % 10 == 0:
+                    print(f"Exported {done} TFRecord files")
+    else:
+        for hour_index, path in enumerate(files):
+            _process_hour(hour_index, path, args.output_sessions_tfrecords_path)
+            if hour_index % 10 == 0:
+                print(f"Exported {hour_index + 1} TFRecord files")
     print("Preprocessing finalized")
 
 

@@ -189,3 +189,27 @@ def test_eval_csv_golden(g1_run):
         assert float(r["hitrate_at_n"]) == pytest.approx(
             float(r["hitrate_at_n_chameleon"]), abs=1e-6
         )
+
+
+def test_parallel_preprocessing_byte_identical(g1_run, tmp_path):
+    """--num_workers N processes hour files on a process pool (the
+    reference's Spark/Dataproc analogue); outputs must be byte-identical
+    to the serial run the fixture produced."""
+    data_dir, _, _ = g1_run
+    from chameleon_recsys_tpu.cli import nar_preprocess_gcom
+
+    out_dir = tmp_path / "par_tfrecords"
+    out_dir.mkdir()
+    nar_preprocess_gcom.main([
+        "--input_clicks_csv_path_regex", f"{data_dir}/clicks/clicks_hour_*.csv",
+        "--output_sessions_tfrecords_path",
+        f"{out_dir}/sessions_hour_*.tfrecord.gz",
+        "--num_workers", "3",
+    ])
+    serial = sorted((data_dir / "sessions_tfrecords").glob("*.tfrecord.gz"))
+    parallel = sorted(out_dir.glob("*.tfrecord.gz"))
+    assert len(serial) == len(parallel) == HOURS
+    import gzip
+
+    for s, p in zip(serial, parallel):
+        assert gzip.open(s).read() == gzip.open(p).read(), (s.name, p.name)
