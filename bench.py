@@ -248,24 +248,41 @@ def scaling_main():
         )
 
     n_max = counts[-1]
-    efficiency = throughputs[n_max] / (n_max * throughputs[1])
-    result = {
-        "metric": "nar_train_weak_scaling_efficiency",
-        "value": round(efficiency, 3),
-        "unit": f"x{n_max}-vs-x1",
-        "vs_baseline": round(efficiency / 0.85, 2),  # ≥0.85 target
-        "platform": platform,
-        "sessions_per_sec": {
-            str(k): round(v, 1) for k, v in throughputs.items()
-        },
-    }
-    if platform != "tpu":
-        result["note"] = (
-            "virtual devices share one host CPU — this validates the sharded "
-            "program + collectives at every mesh size, not hardware scaling; "
-            "run with CHAMELEON_SCALING_REAL_DEVICES=1 on a multi-chip slice "
-            "for a real efficiency figure"
-        )
+    if platform == "tpu":
+        # a real multi-chip efficiency number
+        efficiency = throughputs[n_max] / (n_max * throughputs[1])
+        result = {
+            "metric": "nar_train_weak_scaling_efficiency",
+            "value": round(efficiency, 3),
+            "unit": f"x{n_max}-vs-x1",
+            "vs_baseline": round(efficiency / 0.85, 2),  # ≥0.85 target
+            "platform": platform,
+            "sessions_per_sec": {
+                str(k): round(v, 1) for k, v in throughputs.items()
+            },
+        }
+    else:
+        # Virtual devices share one host CPU: an "efficiency" key here WOULD
+        # be misquoted as hardware scaling the first time someone reads the
+        # JSON without the note — emit a pass/fail program-validation metric
+        # and the raw per-mesh tails only.
+        result = {
+            "metric": "nar_train_weak_scaling_program_ok",
+            "value": 1.0,
+            "unit": f"mesh-sizes-validated-{'-'.join(map(str, counts))}",
+            "vs_baseline": 1.0,
+            "platform": platform,
+            "sessions_per_sec": {
+                str(k): round(v, 1) for k, v in throughputs.items()
+            },
+            "note": (
+                "virtual devices share one host CPU — this validates the "
+                "sharded program + collectives at every mesh size, NOT "
+                "hardware scaling (no efficiency figure is emitted off-TPU); "
+                "run with CHAMELEON_SCALING_REAL_DEVICES=1 on a multi-chip "
+                "slice for a real efficiency figure"
+            ),
+        }
     print(json.dumps(result))
 
 
