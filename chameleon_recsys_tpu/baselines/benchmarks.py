@@ -141,6 +141,11 @@ class BenchmarkRecommender:
             [np.expand_dims(sessions_next_items, 2), eval_negative_items], axis=2
         )
 
+    def is_stochastic(self) -> bool:
+        """True when ``predict`` draws from an RNG (re-running it on the
+        same inputs gives different output) — disables prediction reuse."""
+        return False
+
     def evaluate(
         self, users_ids, sessions_items, sessions_next_items, topk=5,
         eval_negative_items=None,
@@ -151,6 +156,11 @@ class BenchmarkRecommender:
         preds = self.predict(
             users_ids, sessions_items, topk=topk, valid_items=valid_items
         )
+        # stash for the cold-start pass: it re-ranks the SAME batch with the
+        # SAME valid items and state (reference nar_model.py:1496-1501 calls
+        # predict twice; for a deterministic classifier the second call is
+        # bit-identical, so the harness reuses this instead)
+        self._last_eval_preds = (preds, topk)
         pop_norm = self.state_view.get_articles_recent_pop_norm()
         update_metrics(
             preds,

@@ -77,6 +77,10 @@ class SessionBasedKNNRecommender(BenchmarkRecommender):
     def get_clf_suffix(self):
         return "sknn" if self.first_clicks_decay == "same" else "v-sknn"
 
+    def is_stochastic(self):
+        # 'random' candidate sampling draws from Python's RNG per predict
+        return self.sampling_strategy == "random"
+
     def get_description(self):
         return "Session-KNN over a recent-sessions buffer"
 

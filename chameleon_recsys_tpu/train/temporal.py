@@ -561,13 +561,23 @@ class TemporalHarness:
             self.host_state.current_step,
         )
         def one(clf):
-            valid = clf.get_valid_candidate_items(labels, neg_items)
-            bench_preds = clf.predict(
-                np_batch["user_id"],
-                np_batch["item_clicked"],
-                valid_items=valid,
-                topk=top_n,
-            )
+            # Reuse this batch's eval predictions (stashed by clf.evaluate,
+            # benchmarks.py): same inputs, same state, deterministic
+            # classifier → bit-identical to the reference's second predict
+            # call (nar_model.py:1496-1501).  Stochastic classifiers (SkNN
+            # sampling_strategy='random') recompute like the reference.
+            cached = getattr(clf, "_last_eval_preds", None)
+            clf._last_eval_preds = None
+            if cached is not None and cached[1] == top_n and not clf.is_stochastic():
+                bench_preds = cached[0]
+            else:
+                valid = clf.get_valid_candidate_items(labels, neg_items)
+                bench_preds = clf.predict(
+                    np_batch["user_id"],
+                    np_batch["item_clicked"],
+                    valid_items=valid,
+                    topk=top_n,
+                )
             clf.cold_start_state.update_items_num_steps_before_first_rec(
                 bench_preds,
                 self.host_state.items_first_click_step,

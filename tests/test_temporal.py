@@ -283,3 +283,33 @@ def test_parallel_tier_auto_serial_with_global_rng_baseline(harness_setup):
         ],
     )
     assert h._bench_pool is None
+
+
+def test_cold_start_prediction_reuse_matches_recompute(harness_setup, monkeypatch):
+    """The cold-start pass reuses the eval predictions stashed by
+    clf.evaluate (deterministic classifiers; reference nar_model.py:
+    1496-1501 recomputes them).  Forcing recompute via is_stochastic must
+    produce the identical eval row, cold-start stats included."""
+    cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
+    from chameleon_recsys_tpu.baselines.benchmarks import BenchmarkRecommender
+
+    def run(force_recompute):
+        if force_recompute:
+            monkeypatch.setattr(
+                BenchmarkRecommender, "is_stochastic", lambda self: True
+            )
+        else:
+            monkeypatch.undo()
+        h = TemporalHarness(
+            cfg, run_cfg, sess, art, corpus.ace_matrix, corpus.metadata,
+            eval_cold_start=True,
+        )
+        return h.run(hour_source, hours=range(3))[0]
+
+    row_reuse = run(False)
+    row_recompute = run(True)
+    assert set(row_reuse) == set(row_recompute)
+    for key, v in row_reuse.items():
+        if "elapsed" in key or "per_s" in key:
+            continue
+        assert row_recompute[key] == v, key
