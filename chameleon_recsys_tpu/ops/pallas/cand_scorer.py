@@ -51,16 +51,20 @@ from jax.experimental.pallas import tpu as pltpu
 _BT_TILE = 8          # forward (and the model's divisibility gate, via LCM)
 _BT_TILE_BWD = 8      # must stay a multiple of 8 (sublane constraint)
 
-# Stash-nc variant: the forward additionally writes the CAR output nc
+# Stash-nc variant (ON): the forward additionally writes the CAR output nc
 # ([N, C] bf16, ~500 MB HBM residual at the G1 config) and the backward
-# consumes it instead of recomputing it (one [rows,C]x[C,C] MXU matmul +
-# tanh per grid program).  The extra [tile*K, C] backward input block needs
-# the per-kernel VMEM limit raised above the 16 MB scoped default (v5e has
-# 128 MB VMEM; see _VMEM_LIMIT_BYTES) — with the default limit the stash
-# variant is a hard compile failure (round-2 regression, PERFORMANCE.md).
-# Off by default pending a measured win on the grad path; flip via
-# scripts/bench_cand_scorer_tpu.py --ab-stash.
-_STASH_NC = False
+# consumes it instead of recomputing it.  A chip ablation (PERFORMANCE.md,
+# round 3) showed the backward is ~97% MXU-roofline-bound and the nc
+# recompute matmul costs a real 2.7 ms — the stash buys it back for ~1 ms
+# of fully-hidden DMA: train step 25.57 → 23.09 ms end-to-end.  (The
+# earlier "wash" A/B on jit(grad(sum∘scorer)) was an XLA-DCE artifact: the
+# plain forward is dead there — residuals are the raw inputs — while the
+# stash forward is not, so the comparison charged the stash a forward the
+# real train step pays either way.)  The extra [tile*K, C] backward input
+# block needs the per-kernel VMEM limit raised above the 16 MB scoped
+# default (v5e has 128 MB VMEM; see _VMEM_LIMIT_BYTES) — with the default
+# limit the stash variant is a hard compile failure (round-2 regression).
+_STASH_NC = True
 _VMEM_LIMIT_BYTES = 32 * 1024 * 1024
 
 

@@ -54,11 +54,21 @@ def init_stream_state(cfg: NARConfig, num_items: int) -> StreamState:
 
 
 def _compact_front(ids: jax.Array, ts: jax.Array, valid: jax.Array):
-    """Stably move valid entries to the front, zeroing the rest."""
-    ids = jnp.where(valid, ids, 0)
-    ts = jnp.where(valid, ts, 0)
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)
-    return ids[order], ts[order]
+    """Stably move valid entries to the front, zeroing the rest.
+
+    A stable argsort on the boolean key works but lowers to a ~1 ms/step
+    variadic sort of 25k elements at the G1 config; a stable partition is
+    just a cumsum (each valid entry's destination = its rank among valids)
+    plus a unique-index scatter of the valid entries into a zero buffer —
+    invalid slots never need writing at all (device-trace: sort.3 1.0 ms →
+    ~0.05 ms)."""
+    n = ids.shape[0]
+    dest = jnp.where(valid, jnp.cumsum(valid.astype(jnp.int32)) - 1, n)
+    out_ids = jnp.zeros_like(ids).at[dest].set(
+        ids, mode="drop", unique_indices=True)
+    out_ts = jnp.zeros_like(ts).at[dest].set(
+        ts, mode="drop", unique_indices=True)
+    return out_ids, out_ts
 
 
 def update_stream_state(
