@@ -17,11 +17,15 @@ of a 30 ms step, against an MXU roofline of ~3 + ~8 ms).
 This kernel consumes the gathered pool rows in their natural flat [N, C]
 layout and keeps every intermediate in VMEM: each grid program processes
 ``_BT_TILE`` (session, step) pairs — ``_BT_TILE * K`` candidate rows — so
-the MXU sees well-shaped [400, C] matmuls and nothing but the [B*T, K]
-scores (forward) / the input cotangents + weight grads (backward) ever
-touch HBM.  The backward recomputes activations from the same inputs
-(BPTT-style rematerialization) and accumulates weight gradients across the
-sequential grid into shared output blocks.
+the MXU sees well-shaped [400, C] matmuls.  HBM traffic per step: the
+[B*T, K] scores plus, under training (``_STASH_NC``), one [N, C] bf16
+residual — the CAR output ``nc``, written by the forward and re-read by
+the backward (~1 GB round-trip at the G1 config, fully hidden behind the
+MXU) so the backward skips the 2.7 ms nc-recompute matmul; all OTHER
+activations are rematerialized in-kernel from the inputs.  The backward
+accumulates weight gradients across the sequential grid into shared
+output blocks.  See PERFORMANCE.md "Round-3 backward ablation" for the
+measured cost model (the kernel is ~97% MXU-roofline-bound).
 
 Semantics notes:
   * leaky_relu slope must match the model's (TF default 0.2 — the
