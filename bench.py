@@ -438,6 +438,29 @@ def main():
         ):
             batches.append({k: jnp.asarray(v) for k, v in b.items()})
 
+    # Valid-row compaction: run the candidate-scoring chain over only the
+    # valid (session, step) rows.  The capacity is computed from the
+    # materialized batches (max per-batch valid-click count, rounded up to
+    # the scorer tile) so no clicks are ever dropped; at this synthetic
+    # session-length distribution ~45% of the grid is padding (real G1
+    # sessions average 2-4 clicks — far more).
+    if not cpu_fallback:
+        import dataclasses
+
+        max_valid = max(
+            int(
+                (
+                    np.arange(b["item_clicked"].shape[1])[None, :]
+                    < (np.asarray(b["session_size"]) - 1)[:, None]
+                ).sum()
+            )
+            for b in batches
+        )
+        cap = min(-(-max_valid // 8) * 8,
+                  batches[0]["item_clicked"].shape[0]
+                  * batches[0]["item_clicked"].shape[1])
+        cfg = dataclasses.replace(cfg, train_valid_row_capacity=cap)
+
     def _build_and_warm(cfg):
         """Compile + warm the train step (np.asarray is a host fetch —
         unlike block_until_ready it is guaranteed to wait for execution

@@ -167,6 +167,18 @@ class NARConfig:
     # negative sampling: TPU approx_max_k instead of a full sort for the
     # per-click random-key selection (still a valid random draw; faster)
     approx_negative_topk: bool = False
+    # Train-time valid-row compaction capacity: run the candidate-scoring
+    # chain (per-click sampling, pool gather, CAR/matching scoring, loss)
+    # over at most this many VALID (session, step) rows instead of the full
+    # B*T grid — padded steps cost nothing.  Set to a multiple of 8 at or
+    # above the maximum per-batch valid-click count of your data (choose
+    # from data stats; bench.py computes it from its materialized batches).
+    # If a batch exceeds the capacity, the overflow rows are EXCLUDED from
+    # that step's gradient (visible via the dropped_clicks metric) — size
+    # generously.  None disables (exact reference behavior).  Meant for the
+    # single-chip path: under a mesh plan the batch-wide row gather crosses
+    # the data sharding and costs collectives — leave None there.
+    train_valid_row_capacity: Optional[int] = None
     # PRNG implementation for the step keys: 'threefry2x32' (JAX default,
     # splittable, bit-reproducible across backends) or 'rbg' (XLA
     # RngBitGenerator — much faster bit generation on TPU; the sampler draws

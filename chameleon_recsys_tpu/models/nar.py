@@ -209,6 +209,17 @@ class NARModel(nn.Module):
         neg_pool_idx: Optional[jax.Array] = None,  # [B, T, K] into neg_pool
         candidate_positions: Optional[jax.Array] = None,  # [B] serve: score
         # candidates at ONE position per session instead of every timestep
+        scoring_rows: Optional[Tuple[jax.Array, jax.Array]] = None,
+        # Train-time valid-row compaction: (row_sel int32 [M] flat indices
+        # into B*T, row_mask f32 [M]).  The candidate-scoring chain — the
+        # sampler's per-click work, pool gather, CAR/matching scoring and
+        # the loss — runs over the M selected (session, step) rows instead
+        # of the full B*T grid; padded steps (40-80%+ of the grid at real
+        # session-length distributions) cost nothing.  neg_items /
+        # neg_pool_idx must then be [M, K] (sample_negatives_pooled_rows).
+        # Towers/RNN still run [B, T] (they are ~B*T-row matmuls, two
+        # orders of magnitude cheaper than the K-fanned chain).  Requires
+        # rank=False and no candidate_positions.
     ) -> NAROutputs:
         cfg = self.cfg
         dtype = self._dtype()
@@ -296,12 +307,25 @@ class NARModel(nn.Module):
         # Serving fast path: score candidates at ONE position per session
         # (the next-click prediction point) instead of broadcasting the same
         # candidate set across every timestep and discarding T−1 of the work.
+        flat_rows = scoring_rows is not None
+        if flat_rows:
+            if rank or candidate_positions is not None:
+                raise ValueError(
+                    "scoring_rows supports the train path only "
+                    "(rank=False, no candidate_positions)"
+                )
+            rows_sel, row_mask = scoring_rows
+            m_rows = rows_sel.shape[0]
         if candidate_positions is not None:
             pos_idx = candidate_positions.astype(jnp.int32)[:, None]  # [B,1]
             ctx_for_neg = jnp.take_along_axis(
                 user_ctx, pos_idx[..., None], axis=1
             )  # [B, 1, F_u]
             t_neg = 1
+        elif flat_rows:
+            # compacted: [M, F_u] rows of the flattened (B*T) grid
+            ctx_for_neg = user_ctx.reshape(b * t, -1)[rows_sel]
+            t_neg = None
         else:
             ctx_for_neg = user_ctx
             t_neg = t
@@ -327,13 +351,21 @@ class NARModel(nn.Module):
             # 1000 sampled slots rather than the [B,T,K] per-click multiset
             # the dense path sees — both popularity-weighted, slightly
             # different weighting for that one cold-start step.
+            n_score_rows = m_rows if flat_rows else b * t_neg
             fused_scorer = (
                 cfg.use_pallas_scorer
                 and len(cfg.matching_layer_sizes) == 3
-                and (b * t_neg) % _SCORER_BT_TILE == 0
+                and n_score_rows % _SCORER_BT_TILE == 0
             )
             if fused_scorer:
                 neg_car = None  # scored after predicted_emb, in one kernel
+            elif flat_rows:
+                i_rows = pool_gather(i_pre, neg_pool_idx)  # [M, K, C]
+                pre_neg = nn.leaky_relu(
+                    u_pre[:, None, :] + i_rows + const,
+                    negative_slope=_LEAKY_ALPHA,
+                )
+                neg_car = jnp.tanh(pre_neg @ car_kernel + car_bias)
             else:
                 i_rows = pool_gather(i_pre, neg_pool_idx)  # [B, T_neg, K, C]
                 pre_neg = nn.leaky_relu(
@@ -344,15 +376,21 @@ class NARModel(nn.Module):
         else:
             fused_scorer = False
             neg_item_feats = item_features(neg_items, max_event_ts)
-            user_ctx_tiled = jnp.broadcast_to(
-                ctx_for_neg[:, :, None, :],
-                (b, t_neg, k, ctx_for_neg.shape[-1]),
-            )
+            if flat_rows:
+                user_ctx_tiled = jnp.broadcast_to(
+                    ctx_for_neg[:, None, :],
+                    (m_rows, k, ctx_for_neg.shape[-1]),
+                )
+            else:
+                user_ctx_tiled = jnp.broadcast_to(
+                    ctx_for_neg[:, :, None, :],
+                    (b, t_neg, k, ctx_for_neg.shape[-1]),
+                )
             neg_feats = scale_center(
                 jnp.concatenate([user_ctx_tiled, neg_item_feats], -1)
             )
             neg_feats = dropout(neg_feats, deterministic=not train)
-            neg_car = car_tower(neg_feats)  # [B, T_neg, K, C]
+            neg_car = car_tower(neg_feats)  # [B, T_neg, K, C] / [M, K, C]
 
         # ---- session encoder (nar_model.py:407-438) ----
         rnn_out = StackedUGRNN(
@@ -408,22 +446,26 @@ class NARModel(nn.Module):
             pos_for_neg = jnp.take_along_axis(
                 pos_car, pos_idx[..., None], axis=1
             )
+        elif flat_rows:
+            pred_for_neg = predicted_emb.reshape(b * t, c)[rows_sel]  # [M, C]
+            pos_for_neg = pos_car.reshape(b * t, c)[rows_sel]
         else:
             pred_for_neg = predicted_emb
             pos_for_neg = pos_car
 
-        pos_score = match_score(pos_for_neg * pred_for_neg)  # [B, T_neg]
+        # [B, T_neg] (grid) / [M] (compacted)
+        pos_score = match_score(pos_for_neg * pred_for_neg)
         if fused_scorer:
             # One Pallas program for gatherd-row PreCAR + CAR + matching MLP:
-            # nothing [B, T_neg, K, C]-shaped ever reaches HBM
+            # nothing [rows, K, C]-shaped ever reaches HBM
             # (ops/pallas/cand_scorer.py).
             i_rows_flat = pool_gather(
                 i_pre, neg_pool_idx.reshape(-1)
-            )  # [B*T_neg*K, C]
+            )  # [rows*K, C]
             neg_score = cand_score_pallas(
                 i_rows_flat,
-                (u_pre + const).reshape(b * t_neg, c),
-                pred_for_neg.reshape(b * t_neg, c),
+                (u_pre + const).reshape(n_score_rows, c),
+                pred_for_neg.reshape(n_score_rows, c),
                 car_kernel, car_bias,
                 m_kernels[0], m_biases[0],
                 m_kernels[1], m_biases[1],
@@ -431,7 +473,14 @@ class NARModel(nn.Module):
                 mo_kernel[:, 0],
                 _LEAKY_ALPHA,
                 jax.default_backend() != "tpu",  # interpret off-TPU
-            ).reshape(b, t_neg, k) + mo_bias[0].astype(jnp.float32)
+            ) + mo_bias[0].astype(jnp.float32)
+            neg_score = (
+                neg_score if flat_rows else neg_score.reshape(b, t_neg, k)
+            )
+        elif flat_rows:
+            neg_score = match_score(
+                neg_car * pred_for_neg[:, None, :]
+            )  # [M, K]
         else:
             neg_score = match_score(
                 neg_car * pred_for_neg[:, :, None, :]
@@ -439,14 +488,20 @@ class NARModel(nn.Module):
 
         scores = jnp.concatenate([pos_score[..., None], neg_score], axis=-1)
         scores = scores.astype(jnp.float32) / cfg.softmax_temperature
-        items_prob = jax.nn.softmax(scores, axis=-1)  # [B, T_neg, 1+K]
+        items_prob = jax.nn.softmax(scores, axis=-1)  # [.., 1+K]
 
         # ---- masked XE loss (nar_model.py:639-667) ----
+        # Compacted: the sum runs over the selected rows' mask; the denom is
+        # the full batch's valid-click count, so with capacity >= n_valid the
+        # loss is EXACTLY the reference masked mean (and under capacity
+        # overflow the dropped rows are visible as loss shrinkage, plus the
+        # dropped_clicks metric in train/steps.py).
+        ce_mask = row_mask if flat_rows else loss_mask
         positive_prob = items_prob[..., 0]
         denom = jnp.maximum(jnp.sum(loss_mask), 1.0)
         if candidate_positions is None:
             ce_loss = (
-                -jnp.sum(jnp.log(positive_prob + 1e-24) * loss_mask) / denom
+                -jnp.sum(jnp.log(positive_prob + 1e-24) * ce_mask) / denom
             )
         else:  # serving: no labels, no loss
             ce_loss = jnp.zeros(())
@@ -459,17 +514,18 @@ class NARModel(nn.Module):
             neg_norm_pop = aux.recent_pop_norm[neg_items]
             neg_novelty = -log_base(neg_norm_pop, cfg.popularity_smooth_log_base)
             masked_nov = cfg.novelty_reg_factor * jnp.sum(
-                neg_prob * neg_novelty * loss_mask[..., None], axis=-1
+                neg_prob * neg_novelty * ce_mask[..., None], axis=-1
             )
             nov_reg_loss = jnp.sum(masked_nov) / denom
         else:
             nov_reg_loss = jnp.zeros(())
 
-        label_for_cand = (
-            jnp.take_along_axis(next_item_label, pos_idx, axis=1)
-            if candidate_positions is not None
-            else next_item_label
-        )
+        if candidate_positions is not None:
+            label_for_cand = jnp.take_along_axis(next_item_label, pos_idx, axis=1)
+        elif flat_rows:
+            label_for_cand = next_item_label.reshape(-1)[rows_sel]  # [M]
+        else:
+            label_for_cand = next_item_label
         candidate_ids = jnp.concatenate(
             [label_for_cand[..., None], neg_items], axis=-1
         )

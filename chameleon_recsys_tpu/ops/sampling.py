@@ -84,6 +84,42 @@ def _session_sort(candidates: jax.Array):
     return perm, sorted_vals, new_seg, seg_end
 
 
+def _build_candidate_pool(
+    rng_buf, rng_pool, all_clicked_items, buffer_ids, *,
+    num_negatives, buffer_sample_size, mult,
+):
+    """Shared pool construction: batch clicks ∪ buffer sample → the ≤ NC
+    value-sorted candidate pool plus per-SESSION validity (session exclusion)
+    in the sorted layout (nar_model.py:1281-1304, 1257-1259)."""
+    b, l = all_clicked_items.shape
+    nc = min(num_negatives * mult, b * l + buffer_sample_size)
+
+    buffer_sample = sample_from_buffer(rng_buf, buffer_ids, buffer_sample_size)
+    pool = jnp.concatenate(
+        [all_clicked_items.reshape(-1).astype(jnp.int32), buffer_sample]
+    )
+    pool_keys = jax.random.uniform(rng_pool, pool.shape)
+    pool_keys = jnp.where(pool != 0, pool_keys, _INF)
+    neg_keys, idx = lax.top_k(-pool_keys, nc)
+    cand = jnp.where(jnp.isfinite(neg_keys), pool[idx], 0)  # [NC]
+
+    def session_valid(sess_items):
+        hit = jnp.any(cand[:, None] == sess_items[None, :], axis=-1)
+        return (cand != 0) & ~hit
+
+    valid = jax.vmap(session_valid)(all_clicked_items)  # [B, NC]
+
+    # The pool is EXPORTED in value-sorted order so the per-click selected
+    # positions index it directly: routing them back through ``perm`` was a
+    # [B·L·K]-element gather on the training hot path (profiled ~1.4 ms at
+    # the G1 config), and downstream consumers treat pool row order as
+    # arbitrary (features are computed per row).
+    perm, sorted_vals, new_seg, seg_end = _session_sort(cand)
+    valid_sorted = jax.vmap(lambda v: v[perm])(valid)
+    pool_ext = jnp.concatenate([sorted_vals, jnp.zeros((1,), jnp.int32)])
+    return nc, perm, new_seg, seg_end, valid_sorted, pool_ext
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_negatives", "buffer_sample_size", "mult", "approx_topk"),
@@ -114,35 +150,32 @@ def sample_negatives_pooled(
       neg_ids:  int32 [B, L, K] == pool_ext[neg_idx].
     """
     b, l = all_clicked_items.shape
-    nc = min(num_negatives * mult, b * l + buffer_sample_size)
     rng_buf, rng_pool, rng_u = jax.random.split(rng, 3)
-
-    buffer_sample = sample_from_buffer(rng_buf, buffer_ids, buffer_sample_size)
-    pool = jnp.concatenate(
-        [all_clicked_items.reshape(-1).astype(jnp.int32), buffer_sample]
+    nc, perm, new_seg, seg_end, valid_sorted, pool_ext = _build_candidate_pool(
+        rng_buf, rng_pool, all_clicked_items, buffer_ids,
+        num_negatives=num_negatives, buffer_sample_size=buffer_sample_size,
+        mult=mult,
     )
-    pool_keys = jax.random.uniform(rng_pool, pool.shape)
-    pool_keys = jnp.where(pool != 0, pool_keys, _INF)
-    neg_keys, idx = lax.top_k(-pool_keys, nc)
-    cand = jnp.where(jnp.isfinite(neg_keys), pool[idx], 0)  # [NC]
+    u = jax.random.uniform(rng_u, (b, l, nc))
 
-    def session_valid(sess_items):
-        hit = jnp.any(cand[:, None] == sess_items[None, :], axis=-1)
-        return (cand != 0) & ~hit
+    per_click_idx = _make_per_click_idx(
+        perm, new_seg, seg_end, nc, num_negatives, approx_topk
+    )
 
-    valid = jax.vmap(session_valid)(all_clicked_items)  # [B, NC]
+    def per_session(u_s, valid_sorted_s, clicks_s):
+        def per_click(u_c, click_id):
+            idx_c = per_click_idx(u_c, valid_sorted_s)
+            return jnp.where(click_id != 0, idx_c, jnp.full_like(idx_c, nc))
 
-    # The pool is EXPORTED in value-sorted order so the per-click selected
-    # positions index it directly: routing them back through ``perm`` was a
-    # [B·L·K]-element gather on the training hot path (profiled ~1.4 ms at
-    # the G1 config), and downstream consumers treat pool row order as
-    # arbitrary (features are computed per row).
-    perm, sorted_vals, new_seg, seg_end = _session_sort(cand)
-    valid_sorted = jax.vmap(lambda v: v[perm])(valid)
-    pool_ext = jnp.concatenate([sorted_vals, jnp.zeros((1,), jnp.int32)])
-    u = jax.random.uniform(rng_u, (b, l, cand.shape[0]))
+        return jax.vmap(per_click)(u_s, clicks_s)
 
-    def per_click_idx(u_c, new_seg, seg_end, valid_sorted_s):
+    neg_idx = jax.vmap(per_session)(u, valid_sorted, all_clicked_items)
+    neg_ids = pool_ext[neg_idx]
+    return pool_ext, neg_idx, neg_ids
+
+
+def _make_per_click_idx(perm, new_seg, seg_end, nc, num_negatives, approx_topk):
+    def per_click_idx(u_c, valid_sorted_s):
         # NOTE: u_c[perm] is distributionally redundant (i.i.d. keys are
         # permutation-invariant) but deliberately kept: removing it changes
         # XLA's layout choice for the associative-scan chain below and
@@ -165,14 +198,56 @@ def sample_negatives_pooled(
             neg_key, sorted_idx = lax.top_k(-key, num_negatives)
         return jnp.where(jnp.isfinite(neg_key), sorted_idx, nc)  # NC = sentinel
 
-    def per_session(u_s, valid_sorted_s, clicks_s):
-        def per_click(u_c, click_id):
-            idx_c = per_click_idx(u_c, new_seg, seg_end, valid_sorted_s)
-            return jnp.where(click_id != 0, idx_c, jnp.full_like(idx_c, nc))
+    return per_click_idx
 
-        return jax.vmap(per_click)(u_s, clicks_s)
 
-    neg_idx = jax.vmap(per_session)(u, valid_sorted, all_clicked_items)
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_negatives", "buffer_sample_size", "mult", "approx_topk"),
+)
+def sample_negatives_pooled_rows(
+    rng: jax.Array,
+    all_clicked_items: jax.Array,
+    buffer_ids: jax.Array,
+    row_session: jax.Array,  # int32 [M] session index per selected row
+    row_click: jax.Array,    # int32 [M] the row's click id (0 = padding row)
+    *,
+    num_negatives: int,
+    buffer_sample_size: int,
+    mult: int = 20,
+    approx_topk: bool = False,
+):
+    """Row-compacted twin of ``sample_negatives_pooled``: draws negatives for
+    ONLY the M selected (session, click) rows instead of the full [B, L]
+    grid.  The pool construction and session-exclusion semantics are shared
+    code; the per-click segmented-cummin + top-k — the sampler's per-click
+    cost — runs M times instead of B·L times.
+
+    Per-click RNG lanes map by compacted row position rather than (b, l)
+    grid position, so draws differ from the grid sampler's for the same
+    batch (same distribution — both are i.i.d. per click).
+
+    Returns (pool_ext [NC+1], neg_idx [M, K], neg_ids [M, K]).
+    """
+    rng_buf, rng_pool, rng_u = jax.random.split(rng, 3)
+    nc, perm, new_seg, seg_end, valid_sorted, pool_ext = _build_candidate_pool(
+        rng_buf, rng_pool, all_clicked_items, buffer_ids,
+        num_negatives=num_negatives, buffer_sample_size=buffer_sample_size,
+        mult=mult,
+    )
+    m = row_session.shape[0]
+    u = jax.random.uniform(rng_u, (m, nc))
+    valid_rows = valid_sorted[row_session]  # [M, NC]
+
+    per_click_idx = _make_per_click_idx(
+        perm, new_seg, seg_end, nc, num_negatives, approx_topk
+    )
+
+    def per_row(u_c, valid_sorted_s, click_id):
+        idx_c = per_click_idx(u_c, valid_sorted_s)
+        return jnp.where(click_id != 0, idx_c, jnp.full_like(idx_c, nc))
+
+    neg_idx = jax.vmap(per_row)(u, valid_rows, row_click)
     neg_ids = pool_ext[neg_idx]
     return pool_ext, neg_idx, neg_ids
 

@@ -22,7 +22,7 @@ import optax
 
 from ..config import ArticleFeaturesSchema, NARConfig, SessionFeaturesSchema
 from ..models.nar import NARAux, NARModel, NAROutputs, l2_regularization
-from ..ops.sampling import sample_negatives_pooled
+from ..ops.sampling import sample_negatives_pooled, sample_negatives_pooled_rows
 from ..state.stream_state import StreamState, init_stream_state, update_stream_state
 
 
@@ -112,6 +112,55 @@ def build_nar_train(
         )
         rng_neg, rng_drop = jax.random.split(rng)
         all_clicked, all_ts = _batch_all_clicks(batch)
+        cap = cfg.train_valid_row_capacity if (train and not rank) else None
+        if cap is not None:
+            # Valid-row compaction (cfg.train_valid_row_capacity): partition
+            # the flattened (session, step) grid valid-rows-first with a
+            # cumsum (stable — no sort), take the first `cap` rows, and run
+            # the sampler + scoring chain over those only.  Padded steps
+            # (40-80%+ of the grid at real session-length distributions)
+            # cost nothing in the K-fanned chain.
+            item_clicked = batch["item_clicked"]
+            b, t = item_clicked.shape
+            seq_len = batch["session_size"].astype(jnp.int32) - 1
+            mask = (jnp.arange(t)[None, :] < seq_len[:, None]).reshape(-1)
+            mi = mask.astype(jnp.int32)
+            n_valid = jnp.sum(mi)
+            dest = jnp.where(
+                mask, jnp.cumsum(mi) - 1, n_valid + jnp.cumsum(1 - mi) - 1
+            )
+            perm = jnp.zeros((b * t,), jnp.int32).at[dest].set(
+                jnp.arange(b * t, dtype=jnp.int32), unique_indices=True
+            )
+            rows_sel = perm[:cap]
+            row_mask = mask[rows_sel].astype(jnp.float32)
+            pool, neg_idx, neg_ids = sample_negatives_pooled_rows(
+                rng_neg,
+                all_clicked,
+                stream.buffer_ids,
+                rows_sel // t,
+                item_clicked.reshape(-1)[rows_sel],
+                num_negatives=k,
+                buffer_sample_size=m,
+                mult=cfg.neg_sampling_multiplying_factor,
+                approx_topk=cfg.approx_negative_topk,
+            )
+            out = model.apply(
+                {"params": params},
+                batch,
+                aux,
+                neg_ids,
+                train=train,
+                rank=rank,
+                neg_pool=pool,
+                neg_pool_idx=neg_idx,
+                scoring_rows=(rows_sel, row_mask),
+                rngs={"dropout": rng_drop} if train else {},
+            )
+            # overflow accounting: valid clicks that did not fit in `cap`
+            # are excluded from this step's gradient — surface them
+            dropped = (n_valid - jnp.sum(row_mask)).astype(jnp.float32)
+            return out, (all_clicked, all_ts), dropped
         pool, neg_idx, neg_ids = sample_negatives_pooled(
             rng_neg,
             all_clicked,
@@ -134,7 +183,7 @@ def build_nar_train(
             neg_pool_idx=neg_idx,
             rngs={"dropout": rng_drop} if train else {},
         )
-        return out, (all_clicked, all_ts)
+        return out, (all_clicked, all_ts), jnp.zeros(())
 
     def _split_state_rng(raw):
         """NARTrainState.rng is raw key DATA (a plain uint32 array — keeps
@@ -148,16 +197,16 @@ def build_nar_train(
         rng, step_rng = _split_state_rng(state.rng)
 
         def loss_fn(params):
-            out, clicks = _forward_and_negatives(
+            out, clicks, dropped = _forward_and_negatives(
                 params, state.stream, batch, (ace_matrix, metadata), step_rng,
                 train=True, rank=False,
                 k=cfg.negative_samples, m=cfg.negative_sample_from_buffer,
             )
             reg = l2_regularization(params, cfg.reg_weight_decay)
             total = out.ce_loss + reg - out.nov_reg_loss
-            return total, (out, clicks, reg)
+            return total, (out, clicks, reg, dropped)
 
-        (total_loss, (out, (all_clicked, all_ts), reg)), grads = (
+        (total_loss, (out, (all_clicked, all_ts), reg, dropped)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
@@ -171,6 +220,8 @@ def build_nar_train(
             "sessions": jnp.sum(batch["session_size"] > 0),
             "clicks": jnp.sum(out.loss_mask),
         }
+        if cfg.train_valid_row_capacity is not None:
+            metrics["dropped_clicks"] = dropped
         return (
             NARTrainState(params, opt_state, stream, rng, state.step + 1),
             metrics,
@@ -181,7 +232,7 @@ def build_nar_train(
         baselines/popularity through the eval hour, then the harness restores
         the pre-eval snapshot — reference nar_model.py:1410-1415, 1691-1693)."""
         rng, step_rng = _split_state_rng(state.rng)
-        out, (all_clicked, all_ts) = _forward_and_negatives(
+        out, (all_clicked, all_ts), _ = _forward_and_negatives(
             state.params, state.stream, batch, (ace_matrix, metadata), step_rng,
             train=False, rank=True,
             k=cfg.eval_negative_samples, m=cfg.eval_negative_sample_from_buffer,

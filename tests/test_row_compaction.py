@@ -1,0 +1,207 @@
+"""Train-time valid-row compaction (cfg.train_valid_row_capacity):
+the compacted candidate-scoring chain must reproduce the full-grid loss
+exactly when given the same negatives, and the train step must account for
+capacity overflow instead of hiding it."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from chameleon_recsys_tpu.data.collate import batches_from_sessions
+from chameleon_recsys_tpu.data.synthetic import (
+    make_synthetic_corpus,
+    synthetic_hour_sessions,
+)
+from chameleon_recsys_tpu.models.nar import NARAux
+from chameleon_recsys_tpu.ops.sampling import (
+    sample_negatives_pooled,
+    sample_negatives_pooled_rows,
+)
+from chameleon_recsys_tpu.train.steps import build_nar_train, nar_init_state
+
+from conftest import tiny_article_schema, tiny_nar_config, tiny_session_schema
+
+
+def _setup(cfg):
+    art = tiny_article_schema(200)
+    sess = tiny_session_schema(200)
+    corpus = make_synthetic_corpus(art, ace_dim=16)
+    metadata = {k: jnp.asarray(v) for k, v in corpus.metadata.items()}
+    ace = jnp.asarray(corpus.ace_matrix)
+    sessions = synthetic_hour_sessions(
+        corpus, sess, 0, cfg.batch_size, cfg.max_session_length
+    )
+    batch = next(iter(batches_from_sessions(
+        sessions, sess, cfg.batch_size, cfg.max_session_length
+    )))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    return art, sess, ace, metadata, batch
+
+
+def _valid_partition(batch):
+    """The steps.py partition: flat valid-rows-first permutation + mask."""
+    item_clicked = np.asarray(batch["item_clicked"])
+    b, t = item_clicked.shape
+    seq_len = np.asarray(batch["session_size"]).astype(np.int64) - 1
+    mask = (np.arange(t)[None, :] < seq_len[:, None]).reshape(-1)
+    perm = np.concatenate([np.nonzero(mask)[0], np.nonzero(~mask)[0]])
+    return perm.astype(np.int32), mask
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_compacted_loss_matches_full_given_same_negatives(fused):
+    """scoring_rows with the SAME per-row negatives as the full grid must
+    produce the identical masked-mean loss (the compaction is pure
+    reindexing — padded rows contribute nothing either way)."""
+    cfg = tiny_nar_config(
+        matching_layer_sizes=(16, 8, 8), use_pallas_scorer=fused
+    )
+    art, sess, ace, metadata, batch = _setup(cfg)
+    _, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    from chameleon_recsys_tpu.models.nar import NARModel
+
+    model = NARModel(cfg, sess, art)
+    aux = NARAux(ace, metadata, state.stream.recent_pop_norm,
+                 state.stream.buffer_ids)
+
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        jax.random.PRNGKey(3), all_clicked, state.stream.buffer_ids,
+        num_negatives=cfg.negative_samples,
+        buffer_sample_size=cfg.negative_sample_from_buffer,
+    )
+    idx, ids = idx[:, :-1], ids[:, :-1]
+
+    full = model.apply(
+        {"params": state.params}, batch, aux, ids, train=False,
+        neg_pool=pool, neg_pool_idx=idx,
+    )
+
+    b, t = batch["item_clicked"].shape
+    perm, mask = _valid_partition(batch)
+    # capacity must be a multiple of the scorer tile; cover all valid rows
+    m_cap = int(-(-int(mask.sum()) // 8) * 8)
+    rows_sel = jnp.asarray(perm[:m_cap])
+    row_mask = jnp.asarray(mask[perm[:m_cap]].astype(np.float32))
+    idx_rows = idx.reshape(b * t, -1)[rows_sel]
+    ids_rows = ids.reshape(b * t, -1)[rows_sel]
+
+    compact = model.apply(
+        {"params": state.params}, batch, aux, ids_rows, train=False,
+        neg_pool=pool, neg_pool_idx=idx_rows,
+        scoring_rows=(rows_sel, row_mask),
+    )
+    assert float(compact.ce_loss) == pytest.approx(
+        float(full.ce_loss), rel=1e-6
+    )
+    # per-row probabilities equal the full grid's at the selected rows
+    full_pp = np.asarray(full.items_prob)[..., 0].reshape(-1)[perm[:m_cap]]
+    comp_pp = np.asarray(compact.items_prob)[..., 0]
+    np.testing.assert_allclose(
+        comp_pp * np.asarray(row_mask), full_pp * np.asarray(row_mask),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_compacted_gradients_match_full(monkeypatch):
+    """Same negatives → same gradients (the compaction changes only the
+    iteration space, not the math)."""
+    cfg = tiny_nar_config(matching_layer_sizes=(16, 8, 8))
+    art, sess, ace, metadata, batch = _setup(cfg)
+    _, _, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
+    from chameleon_recsys_tpu.models.nar import NARModel
+
+    model = NARModel(cfg, sess, art)
+    aux = NARAux(ace, metadata, state.stream.recent_pop_norm,
+                 state.stream.buffer_ids)
+    all_clicked = jnp.concatenate(
+        [batch["item_clicked"], batch["label_last_item"]], axis=1
+    )
+    pool, idx, ids = sample_negatives_pooled(
+        jax.random.PRNGKey(3), all_clicked, state.stream.buffer_ids,
+        num_negatives=cfg.negative_samples,
+        buffer_sample_size=cfg.negative_sample_from_buffer,
+    )
+    idx, ids = idx[:, :-1], ids[:, :-1]
+    b, t = batch["item_clicked"].shape
+    perm, mask = _valid_partition(batch)
+    m_cap = int(-(-int(mask.sum()) // 8) * 8)
+    rows_sel = jnp.asarray(perm[:m_cap])
+    row_mask = jnp.asarray(mask[perm[:m_cap]].astype(np.float32))
+
+    def loss_full(params):
+        out = model.apply({"params": params}, batch, aux, ids, train=False,
+                          neg_pool=pool, neg_pool_idx=idx)
+        return out.ce_loss
+
+    def loss_compact(params):
+        out = model.apply(
+            {"params": params}, batch, aux,
+            ids.reshape(b * t, -1)[rows_sel], train=False,
+            neg_pool=pool, neg_pool_idx=idx.reshape(b * t, -1)[rows_sel],
+            scoring_rows=(rows_sel, row_mask),
+        )
+        return out.ce_loss
+
+    g_full = jax.grad(loss_full)(state.params)
+    g_comp = jax.grad(loss_compact)(state.params)
+
+    def check(path, a, b_):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+    jax.tree_util.tree_map_with_path(check, g_full, g_comp)
+
+
+def test_train_step_with_capacity_runs_and_counts_drops():
+    cfg = tiny_nar_config()
+    art, sess, ace, metadata, batch = _setup(cfg)
+    n_valid = int(
+        (np.arange(np.asarray(batch["item_clicked"]).shape[1])[None, :]
+         < (np.asarray(batch["session_size"]) - 1)[:, None]).sum()
+    )
+
+    # generous capacity: no drops, finite loss
+    cap = int(-(-n_valid // 8) * 8)
+    cfg_cap = dataclasses.replace(cfg, train_valid_row_capacity=cap)
+    _, _, state = nar_init_state(cfg_cap, sess, art, batch, ace, metadata)
+    programs = build_nar_train(cfg_cap, sess, art)
+    state, metrics = programs.train_step(state, batch, ace, metadata)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["dropped_clicks"]) == 0.0
+    assert float(metrics["clicks"]) == n_valid
+
+    # starved capacity: the overflow is counted, not hidden
+    cfg_small = dataclasses.replace(cfg, train_valid_row_capacity=8)
+    _, _, state2 = nar_init_state(cfg_small, sess, art, batch, ace, metadata)
+    programs2 = build_nar_train(cfg_small, sess, art)
+    state2, metrics2 = programs2.train_step(state2, batch, ace, metadata)
+    assert float(metrics2["dropped_clicks"]) == n_valid - 8
+    assert np.isfinite(float(metrics2["loss"]))
+
+
+def test_rows_sampler_excludes_session_items():
+    clicked = jnp.array(
+        [[1, 2, 3, 4, 5], [6, 7, 0, 0, 0], [0, 0, 0, 0, 0]], jnp.int32
+    )
+    buffer = jnp.arange(0, 64, dtype=jnp.int32)
+    row_session = jnp.array([0, 0, 1, 2], jnp.int32)
+    row_click = jnp.array([1, 2, 6, 0], jnp.int32)  # last row = padding
+    pool, idx, ids = sample_negatives_pooled_rows(
+        jax.random.PRNGKey(7), clicked, buffer, row_session, row_click,
+        num_negatives=4, buffer_sample_size=16,
+    )
+    ids = np.asarray(ids)
+    # session-0 rows never sample session-0 items; same for session 1
+    assert not np.intersect1d(ids[:2].ravel(), [1, 2, 3, 4, 5]).size
+    assert not np.intersect1d(ids[2].ravel(), [6, 7]).size
+    # padding row (click 0) samples nothing
+    np.testing.assert_array_equal(ids[3], 0)
+    # sentinel row maps padding indices to id 0
+    np.testing.assert_array_equal(np.asarray(pool)[np.asarray(idx)], ids)
