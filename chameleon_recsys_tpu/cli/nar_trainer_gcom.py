@@ -81,6 +81,11 @@ def create_args_parser():
     p.add_argument("--novelty_reg_factor", type=float, default=0.0)
     p.add_argument("--eval_negative_sample_relevance", type=float, default=0.02)
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--train_valid_row_capacity", type=int, default=0,
+                   help="valid-row compaction capacity for the train step "
+                   "(multiple of 8, >= your data's max per-batch valid "
+                   "clicks; 0 = off). Single-chip only — ignored with a "
+                   "mesh. See NARConfig.train_valid_row_capacity.")
     # feature toggles (reference enabled_*_features flags)
     p.add_argument("--enabled_internal_features", default="ALL",
                    help="comma list of recency,novelty,article_content_embeddings,"
@@ -232,6 +237,12 @@ def main(argv=None):
         eval_negative_sample_relevance=args.eval_negative_sample_relevance,
         internal_features=parse_internal_features(args.enabled_internal_features),
         compute_dtype=args.compute_dtype,
+        train_valid_row_capacity=(
+            args.train_valid_row_capacity
+            if args.train_valid_row_capacity > 0
+            and args.data_parallelism <= 1 and args.model_parallelism <= 1
+            else None
+        ),
     )
     run_cfg = RunConfig(
         model_dir=args.model_dir,
