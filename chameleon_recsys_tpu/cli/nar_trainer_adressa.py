@@ -64,6 +64,11 @@ def main(argv=None):
                    help="comma list of category,author, or ALL/NONE")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--train_valid_row_capacity", type=int, default=0,
+                   help="valid-row compaction capacity for the train step "
+                   "(multiple of 8, >= your data's max per-batch valid "
+                   "clicks; 0 = off). Single-chip only — ignored with a "
+                   "mesh. See NARConfig.train_valid_row_capacity.")
     p.add_argument("--platform", default="", help="force a JAX platform (e.g. cpu)")
     # multi-chip: jit train/eval over a (data × model) mesh
     # (parallel/sharded.py); 0 = single-device jax.jit.  Same contract as
@@ -143,6 +148,12 @@ def main(argv=None):
         eval_negative_sample_relevance=args.eval_negative_sample_relevance,
         internal_features=parse_internal_features(args.enabled_internal_features),
         compute_dtype=args.compute_dtype,
+        train_valid_row_capacity=(
+            args.train_valid_row_capacity
+            if args.train_valid_row_capacity > 0
+            and args.data_parallelism <= 1 and args.model_parallelism <= 1
+            else None
+        ),
     )
     run_cfg = RunConfig(
         model_dir=args.model_dir,
