@@ -205,3 +205,47 @@ def test_rows_sampler_excludes_session_items():
     np.testing.assert_array_equal(ids[3], 0)
     # sentinel row maps padding indices to id 0
     np.testing.assert_array_equal(np.asarray(pool)[np.asarray(idx)], ids)
+
+
+def test_harness_with_capacity_stream_state_identical():
+    """Compaction changes WHICH rows are scored, never the stream-state
+    update (which consumes the raw batch clicks) — so integer stream state
+    after training must be EXACTLY equal with and without capacity, and the
+    harness must train/eval end-to-end with the flag on."""
+    from chameleon_recsys_tpu.config import RunConfig
+    from chameleon_recsys_tpu.train.temporal import TemporalHarness
+
+    cfg = tiny_nar_config(batch_size=8, max_session_length=6)
+    art = tiny_article_schema(256)
+    sess = tiny_session_schema(256)
+    corpus = make_synthetic_corpus(art, ace_dim=8)
+
+    def hour(h):
+        return synthetic_hour_sessions(
+            corpus, sess, h, num_sessions=16,
+            max_session_length=cfg.max_session_length,
+        )
+
+    def run(capacity):
+        c = dataclasses.replace(cfg, train_valid_row_capacity=capacity)
+        h = TemporalHarness(
+            c, RunConfig(model_dir="/tmp/chameleon_cap_test"),
+            sess, art, corpus.ace_matrix, corpus.metadata,
+        )
+        for k in range(2):
+            stats = h.train_hour(hour(k))
+            assert np.isfinite(stats["avg_ce_loss"])
+        row = h.evaluate_hour(hour(2))
+        return h, row
+
+    h_full, row_full = run(None)
+    h_cap, row_cap = run(40)  # 8 sessions x 5 steps = max 40 valid rows
+    for field in ("buffer_ids", "buffer_ts", "recent_pop", "global_pop"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(h_full.state.stream, field)),
+            np.asarray(getattr(h_cap.state.stream, field)),
+            err_msg=field,
+        )
+    # eval is uncompacted in both; trained params differ only through the
+    # sampler's RNG lane mapping — quality must be in the same band
+    assert abs(row_full["hitrate_at_n"] - row_cap["hitrate_at_n"]) < 0.25
