@@ -447,16 +447,18 @@ def main():
     if not cpu_fallback:
         import dataclasses
 
+        from chameleon_recsys_tpu.train.steps import (
+            round_up_to_scorer_tile,
+            valid_click_mask,
+        )
+
         max_valid = max(
-            int(
-                (
-                    np.arange(b["item_clicked"].shape[1])[None, :]
-                    < (np.asarray(b["session_size"]) - 1)[:, None]
-                ).sum()
-            )
+            int(valid_click_mask(
+                b["session_size"], b["item_clicked"].shape[1], xp=np
+            ).sum())
             for b in batches
         )
-        cap = min(-(-max_valid // 8) * 8,
+        cap = min(round_up_to_scorer_tile(max_valid),
                   batches[0]["item_clicked"].shape[0]
                   * batches[0]["item_clicked"].shape[1])
         cfg = dataclasses.replace(cfg, train_valid_row_capacity=cap)
@@ -479,7 +481,25 @@ def main():
     # here).  On ANY failure of the fused-scorer program, degrade to the
     # XLA scorer and flag it in the JSON: the bench must always emit its
     # line, never a stack trace.
-    fused_note = "ok" if cfg.use_pallas_scorer else "off"
+    # "ok" only when the model's OWN fused gate will actually route to the
+    # kernel (3 matching layers + scored-row count divisible by the tile) —
+    # a silently-gated-off kernel must not be reported as the measured
+    # config (models/nar.py fused_scorer gate).
+    scored_rows = cfg.train_valid_row_capacity or (
+        cfg.batch_size * (cfg.max_session_length - 1)
+    )
+    fused_gate = (
+        len(cfg.matching_layer_sizes) == 3 and scored_rows % 8 == 0
+    )
+    if not cfg.use_pallas_scorer:
+        fused_note = "off"
+    elif fused_gate:
+        fused_note = "ok"
+    else:
+        fused_note = (
+            f"gated-off: rows={scored_rows} "
+            f"layers={len(cfg.matching_layer_sizes)}"
+        )
     try:
         programs, state = _build_and_warm(cfg)
     except Exception as e:  # noqa: BLE001 — any compile/execute error

@@ -8,7 +8,9 @@ no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -23,28 +25,44 @@ _build_error: Optional[str] = None
 
 def _lib_path() -> Path:
     """Content-addressed build output: the binary is keyed by a hash of the
-    source, so editing chio.cc always rebuilds and a stale/foreign-arch
-    binary is never loaded (mtime checks are unreliable across git checkouts,
-    and -march=native binaries must never travel between machines)."""
+    source AND the host CPU identity, so editing chio.cc always rebuilds and
+    a stale/foreign-arch binary is never loaded (mtime checks are unreliable
+    across git checkouts, and -march=native binaries must never travel
+    between machines — including via a shared/NFS checkout)."""
     import hashlib
 
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    from .build import host_arch_digest
+
+    digest = hashlib.sha256(
+        _SRC.read_bytes() + host_arch_digest()
+    ).hexdigest()[:16]
     return Path(__file__).parent / f"libchio-{digest}.so"
+
+
+_build_lock = threading.Lock()
 
 
 def _build_library() -> Optional[ctypes.CDLL]:
     global _build_error
     lib_file = _lib_path()
-    if not lib_file.exists():
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", str(lib_file), str(_SRC), "-lz",
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            _build_error = getattr(e, "stderr", str(e))
-            return None
+    with _build_lock:
+        if not lib_file.exists():
+            # temp file + atomic rename: concurrent first callers must never
+            # dlopen a partially written .so
+            tmp = lib_file.with_suffix(f".tmp{os.getpid()}")
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", str(tmp), str(_SRC), "-lz",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+                os.replace(tmp, lib_file)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                _build_error = getattr(e, "stderr", str(e))
+                return None
+            finally:
+                if tmp.exists():
+                    tmp.unlink()
     try:
         lib = ctypes.CDLL(str(lib_file))
     except OSError as e:  # wrong-arch or corrupt binary

@@ -8,15 +8,20 @@ reference implementation and the test oracle).
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import Optional
 
 import numpy as np
 
+from .build import host_arch_digest
+
 _SRC = Path(__file__).parent / "sknn.cc"
 _lib_handle = None
 _build_error: Optional[str] = None
+_build_lock = threading.Lock()
 
 SIMILARITY_CODES = {"cosine": 0, "jaccard": 1}
 DECAY_CODES = {"same": 0, "div": 1, "linear": 2, "log": 3, "quadratic": 4}
@@ -25,23 +30,36 @@ DECAY_CODES = {"same": 0, "div": 1, "linear": 2, "log": 3, "quadratic": 4}
 def _lib_path() -> Path:
     import hashlib
 
-    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    # keyed by source AND host CPU identity: -march=native binaries must
+    # never be loaded by a different microarchitecture (shared/NFS checkouts)
+    digest = hashlib.sha256(
+        _SRC.read_bytes() + host_arch_digest()
+    ).hexdigest()[:16]
     return Path(__file__).parent / f"libsknn-{digest}.so"
 
 
 def _build_library() -> Optional[ctypes.CDLL]:
     global _build_error
     lib_file = _lib_path()
-    if not lib_file.exists():
-        cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC",
-            "-o", str(lib_file), str(_SRC), "-lpthread",
-        ]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
-            _build_error = getattr(e, "stderr", str(e))
-            return None
+    with _build_lock:
+        if not lib_file.exists():
+            # build to a temp path + atomic rename: a concurrent reader (the
+            # benchmark thread pool builds on first predict) must never
+            # dlopen a partially written .so
+            tmp = lib_file.with_suffix(f".tmp{os.getpid()}")
+            cmd = [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-o", str(tmp), str(_SRC), "-lpthread",
+            ]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True, text=True)
+                os.replace(tmp, lib_file)
+            except (subprocess.CalledProcessError, FileNotFoundError) as e:
+                _build_error = getattr(e, "stderr", str(e))
+                return None
+            finally:
+                if tmp.exists():
+                    tmp.unlink()
     try:
         lib = ctypes.CDLL(str(lib_file))
     except OSError as e:

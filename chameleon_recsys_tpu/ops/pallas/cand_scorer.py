@@ -359,7 +359,10 @@ def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
                 jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
                 jax.ShapeDtypeStruct((bt_total * k, c), i_rows.dtype),
             ),
-            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            # tile passed explicitly: _specs' default was bound to _BT_TILE
+            # at import, which desynchronizes from grid/out_specs when a
+            # bench script mutates the module global for a tile sweep
+            in_specs=_specs(bt_total, k, c, m1, m2, m3, tile=_BT_TILE),
             out_specs=(
                 pl.BlockSpec((row_block, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -375,7 +378,7 @@ def _fwd_impl(i_rows, u_pre, pred, car_w, car_b, w1, b1, w2, b2, w3, b3,
             functools.partial(_fwd_kernel, k=k, alpha=alpha),
             grid=(n_tiles,),
             out_shape=jax.ShapeDtypeStruct((bt_total * k, 1), jnp.float32),
-            in_specs=_specs(bt_total, k, c, m1, m2, m3),
+            in_specs=_specs(bt_total, k, c, m1, m2, m3, tile=_BT_TILE),
             out_specs=pl.BlockSpec((row_block, 1), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(

@@ -34,6 +34,21 @@ class NARTrainState(NamedTuple):
     step: jax.Array
 
 
+def valid_click_mask(session_size, t, xp=jnp):
+    """[B] session sizes → [B, t] bool: step s is a (click → label) pair iff
+    ``s < session_size - 1``.  THE loss-mask definition (models/nar.py) —
+    the valid-row compaction (below) and any capacity sizing
+    (bench.py, CLI users) must share it, or capacities silently drop
+    clicks.  ``xp=np`` for host-side sizing."""
+    seq_len = xp.asarray(session_size).astype(xp.int32) - 1
+    return xp.arange(t)[None, :] < seq_len[:, None]
+
+
+def round_up_to_scorer_tile(n: int, tile: int = 8) -> int:
+    """Capacities must be a multiple of the fused scorer's row tile."""
+    return -(-int(n) // tile) * tile
+
+
 def _batch_all_clicks(batch) -> Tuple[jax.Array, jax.Array]:
     """All clicked ids/timestamps incl. the final label column.
 
@@ -122,8 +137,7 @@ def build_nar_train(
             # cost nothing in the K-fanned chain.
             item_clicked = batch["item_clicked"]
             b, t = item_clicked.shape
-            seq_len = batch["session_size"].astype(jnp.int32) - 1
-            mask = (jnp.arange(t)[None, :] < seq_len[:, None]).reshape(-1)
+            mask = valid_click_mask(batch["session_size"], t).reshape(-1)
             mi = mask.astype(jnp.int32)
             n_valid = jnp.sum(mi)
             dest = jnp.where(

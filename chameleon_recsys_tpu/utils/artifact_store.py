@@ -11,6 +11,7 @@ warm-start/periodic-sync path against a tmpdir.
 """
 from __future__ import annotations
 
+import os
 import shutil
 from pathlib import Path
 from typing import List, Optional, Protocol, runtime_checkable
@@ -135,7 +136,7 @@ class GCSArtifactStore:
 
     def download_dir(self, remote_path, local_dir, filename_pattern=None):
         base = self._key(remote_path)
-        local_dir = Path(local_dir)
+        local_dir = Path(local_dir).resolve()
         fetched = []
         for blob in self._bucket.list_blobs(prefix=base + "/"):
             rel = blob.name[len(base) + 1:]
@@ -144,6 +145,12 @@ class GCSArtifactStore:
             if filename_pattern and filename_pattern not in rel.rsplit("/", 1)[-1]:
                 continue
             target = local_dir / rel
+            # a hostile/buggy blob key with '..' segments must not write
+            # outside the download directory
+            resolved = Path(os.path.normpath(target))
+            if not str(resolved).startswith(str(local_dir) + os.sep):
+                raise ValueError(f"blob escapes download dir: {blob.name!r}")
+            target = resolved
             target.parent.mkdir(parents=True, exist_ok=True)
             blob.download_to_filename(str(target))
             fetched.append(str(target))

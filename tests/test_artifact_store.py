@@ -207,3 +207,17 @@ def test_gcs_warm_start_and_factory(tmp_path):
     assert (tmp_path / "md" / "model.ckpt").read_text() == "weights"
     # missing remote → empty, no error
     assert warm_start_model_dir(store, "nope", tmp_path / "md2") == []
+
+
+def test_gcs_download_rejects_path_traversal(tmp_path):
+    """A blob key with '..' segments must not write outside the download
+    directory."""
+    from chameleon_recsys_tpu.utils.artifact_store import GCSArtifactStore
+    import pytest
+
+    client = _FakeGCSClient()
+    store = GCSArtifactStore("gs://bucket", client=client)
+    client.blobs["r/../../evil.txt"] = b"pwned"
+    with pytest.raises(ValueError, match="escapes"):
+        store.download_dir("r", tmp_path / "out")
+    assert not (tmp_path / "evil.txt").exists()

@@ -292,11 +292,20 @@ def test_cold_start_prediction_reuse_matches_recompute(harness_setup, monkeypatc
     produce the identical eval row, cold-start stats included."""
     cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
     from chameleon_recsys_tpu.baselines.benchmarks import BenchmarkRecommender
+    from chameleon_recsys_tpu.baselines.session_knn import (
+        SessionBasedKNNRecommender,
+    )
 
     def run(force_recompute):
         if force_recompute:
+            # patch the SUBCLASS override too — SessionBasedKNNRecommender
+            # defines its own is_stochastic, so patching only the base would
+            # leave sknn/v-sknn on the cached-preds branch
             monkeypatch.setattr(
                 BenchmarkRecommender, "is_stochastic", lambda self: True
+            )
+            monkeypatch.setattr(
+                SessionBasedKNNRecommender, "is_stochastic", lambda self: True
             )
         else:
             monkeypatch.undo()
