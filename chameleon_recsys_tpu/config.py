@@ -175,10 +175,16 @@ class NARConfig:
     # from data stats; bench.py computes it from its materialized batches).
     # If a batch exceeds the capacity, the overflow rows are EXCLUDED from
     # that step's gradient (visible via the dropped_clicks metric) — size
-    # generously.  None disables (exact reference behavior).  Meant for the
-    # single-chip path: under a mesh plan the batch-wide row gather crosses
-    # the data sharding and costs collectives — leave None there.
+    # generously.  None disables (exact reference behavior).
     train_valid_row_capacity: Optional[int] = None
+    # Mesh-friendly compaction: partition/select/gather rows PER GROUP of
+    # sessions instead of over the whole batch, with capacity/groups rows
+    # each.  Set = data_parallelism under a mesh plan so every gather in
+    # the compacted chain is a batched (shard-local) take_along_axis and
+    # the SPMD partitioner inserts no collectives; must divide both
+    # batch_size and train_valid_row_capacity.  1 = whole-batch partition
+    # (the single-chip default).
+    train_compaction_groups: int = 1
     # PRNG implementation for the step keys: 'threefry2x32' (JAX default,
     # splittable, bit-reproducible across backends) or 'rbg' (XLA
     # RngBitGenerator — much faster bit generation on TPU; the sampler draws

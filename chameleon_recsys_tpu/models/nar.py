@@ -220,6 +220,13 @@ class NARModel(nn.Module):
         # Towers/RNN still run [B, T] (they are ~B*T-row matmuls, two
         # orders of magnitude cheaper than the K-fanned chain).  Requires
         # rank=False and no candidate_positions.
+        scoring_groups: int = 1,
+        # >1: row_sel is grouped — rows_sel.reshape(groups, M/groups)[g]
+        # selects only from group g's contiguous slice of the flat grid
+        # (one group per data shard).  Row gathers then run as BATCHED
+        # take_along_axis over [groups, B*T/groups, ...], which the SPMD
+        # partitioner keeps local to each shard (train/steps.py builds the
+        # grouped partition when a mesh is active).
     ) -> NAROutputs:
         cfg = self.cfg
         dtype = self._dtype()
@@ -316,6 +323,26 @@ class NARModel(nn.Module):
                 )
             rows_sel, row_mask = scoring_rows
             m_rows = rows_sel.shape[0]
+            if scoring_groups > 1:
+                # group-local indices for batched (shard-local) gathers
+                rows_per_group = (b * t) // scoring_groups
+                _rows_local = (
+                    rows_sel.reshape(scoring_groups, -1)
+                    - jnp.arange(scoring_groups, dtype=rows_sel.dtype)[:, None]
+                    * rows_per_group
+                )
+
+            def gather_rows(x):
+                """[B, T, ...] → [M, ...] rows of the flattened grid."""
+                feat = x.shape[2:]
+                if scoring_groups == 1:
+                    return x.reshape((b * t,) + feat)[rows_sel]
+                xg = x.reshape((scoring_groups, rows_per_group) + feat)
+                idx = _rows_local.reshape(
+                    (scoring_groups, -1) + (1,) * len(feat)
+                )
+                out = jnp.take_along_axis(xg, idx, axis=1)
+                return out.reshape((m_rows,) + feat)
         if candidate_positions is not None:
             pos_idx = candidate_positions.astype(jnp.int32)[:, None]  # [B,1]
             ctx_for_neg = jnp.take_along_axis(
@@ -324,7 +351,7 @@ class NARModel(nn.Module):
             t_neg = 1
         elif flat_rows:
             # compacted: [M, F_u] rows of the flattened (B*T) grid
-            ctx_for_neg = user_ctx.reshape(b * t, -1)[rows_sel]
+            ctx_for_neg = gather_rows(user_ctx)
             t_neg = None
         else:
             ctx_for_neg = user_ctx
@@ -447,8 +474,8 @@ class NARModel(nn.Module):
                 pos_car, pos_idx[..., None], axis=1
             )
         elif flat_rows:
-            pred_for_neg = predicted_emb.reshape(b * t, c)[rows_sel]  # [M, C]
-            pos_for_neg = pos_car.reshape(b * t, c)[rows_sel]
+            pred_for_neg = gather_rows(predicted_emb)  # [M, C]
+            pos_for_neg = gather_rows(pos_car)
         else:
             pred_for_neg = predicted_emb
             pos_for_neg = pos_car
@@ -523,7 +550,7 @@ class NARModel(nn.Module):
         if candidate_positions is not None:
             label_for_cand = jnp.take_along_axis(next_item_label, pos_idx, axis=1)
         elif flat_rows:
-            label_for_cand = next_item_label.reshape(-1)[rows_sel]  # [M]
+            label_for_cand = gather_rows(next_item_label)  # [M]
         else:
             label_for_cand = next_item_label
         candidate_ids = jnp.concatenate(

@@ -203,7 +203,9 @@ def _make_per_click_idx(perm, new_seg, seg_end, nc, num_negatives, approx_topk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_negatives", "buffer_sample_size", "mult", "approx_topk"),
+    static_argnames=(
+        "num_negatives", "buffer_sample_size", "mult", "approx_topk", "groups",
+    ),
 )
 def sample_negatives_pooled_rows(
     rng: jax.Array,
@@ -216,6 +218,7 @@ def sample_negatives_pooled_rows(
     buffer_sample_size: int,
     mult: int = 20,
     approx_topk: bool = False,
+    groups: int = 1,  # >1: rows are grouped per data shard (mesh locality)
 ):
     """Row-compacted twin of ``sample_negatives_pooled``: draws negatives for
     ONLY the M selected (session, click) rows instead of the full [B, L]
@@ -237,7 +240,21 @@ def sample_negatives_pooled_rows(
     )
     m = row_session.shape[0]
     u = jax.random.uniform(rng_u, (m, nc))
-    valid_rows = valid_sorted[row_session]  # [M, NC]
+    if groups > 1:
+        # Mesh-friendly gather: rows of group g only reference group g's
+        # sessions, so express the lookup as a BATCHED gather over
+        # [groups, B/groups, NC] — the SPMD partitioner keeps it local to
+        # each data shard instead of all-gathering valid_sorted.
+        b = all_clicked_items.shape[0]
+        vg = valid_sorted.reshape(groups, b // groups, nc)
+        sess_local = (row_session.reshape(groups, -1)
+                      - jnp.arange(groups, dtype=row_session.dtype)[:, None]
+                      * (b // groups))
+        valid_rows = jnp.take_along_axis(
+            vg, sess_local[..., None], axis=1
+        ).reshape(m, nc)
+    else:
+        valid_rows = valid_sorted[row_session]  # [M, NC]
 
     per_click_idx = _make_per_click_idx(
         perm, new_seg, seg_end, nc, num_negatives, approx_topk

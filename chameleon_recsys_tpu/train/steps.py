@@ -137,27 +137,68 @@ def build_nar_train(
             # cost nothing in the K-fanned chain.
             item_clicked = batch["item_clicked"]
             b, t = item_clicked.shape
+            groups = max(cfg.train_compaction_groups, 1)
             mask = valid_click_mask(batch["session_size"], t).reshape(-1)
-            mi = mask.astype(jnp.int32)
-            n_valid = jnp.sum(mi)
-            dest = jnp.where(
-                mask, jnp.cumsum(mi) - 1, n_valid + jnp.cumsum(1 - mi) - 1
-            )
-            perm = jnp.zeros((b * t,), jnp.int32).at[dest].set(
-                jnp.arange(b * t, dtype=jnp.int32), unique_indices=True
-            )
-            rows_sel = perm[:cap]
-            row_mask = mask[rows_sel].astype(jnp.float32)
+            n_valid = jnp.sum(mask.astype(jnp.int32))
+            if groups > 1:
+                # per-group partition: every op stays within its group's
+                # contiguous session block, so under a mesh (groups =
+                # data_parallelism) the whole chain is shard-local
+                if (b * t) % groups or cap % groups or b % groups:
+                    raise ValueError(
+                        "train_compaction_groups must divide batch_size "
+                        "and train_valid_row_capacity"
+                    )
+                r = (b * t) // groups
+                mask2 = mask.reshape(groups, r)
+                mi = mask2.astype(jnp.int32)
+                nv = jnp.sum(mi, axis=1, keepdims=True)
+                dest = jnp.where(
+                    mask2,
+                    jnp.cumsum(mi, axis=1) - 1,
+                    nv + jnp.cumsum(1 - mi, axis=1) - 1,
+                )
+                perm = jnp.zeros((groups, r), jnp.int32).at[
+                    jnp.arange(groups)[:, None], dest
+                ].set(
+                    jnp.broadcast_to(
+                        jnp.arange(r, dtype=jnp.int32)[None, :], (groups, r)
+                    ),
+                    unique_indices=True,
+                )
+                rows_local = perm[:, : cap // groups]
+                row_mask = jnp.take_along_axis(
+                    mask2, rows_local, axis=1
+                ).reshape(-1).astype(jnp.float32)
+                row_click = jnp.take_along_axis(
+                    item_clicked.reshape(groups, r), rows_local, axis=1
+                ).reshape(-1)
+                rows_sel = (
+                    rows_local
+                    + jnp.arange(groups, dtype=jnp.int32)[:, None] * r
+                ).reshape(-1)
+            else:
+                mi = mask.astype(jnp.int32)
+                dest = jnp.where(
+                    mask, jnp.cumsum(mi) - 1, n_valid + jnp.cumsum(1 - mi) - 1
+                )
+                perm = jnp.zeros((b * t,), jnp.int32).at[dest].set(
+                    jnp.arange(b * t, dtype=jnp.int32), unique_indices=True
+                )
+                rows_sel = perm[:cap]
+                row_mask = mask[rows_sel].astype(jnp.float32)
+                row_click = item_clicked.reshape(-1)[rows_sel]
             pool, neg_idx, neg_ids = sample_negatives_pooled_rows(
                 rng_neg,
                 all_clicked,
                 stream.buffer_ids,
                 rows_sel // t,
-                item_clicked.reshape(-1)[rows_sel],
+                row_click,
                 num_negatives=k,
                 buffer_sample_size=m,
                 mult=cfg.neg_sampling_multiplying_factor,
                 approx_topk=cfg.approx_negative_topk,
+                groups=groups,
             )
             out = model.apply(
                 {"params": params},
@@ -169,6 +210,7 @@ def build_nar_train(
                 neg_pool=pool,
                 neg_pool_idx=neg_idx,
                 scoring_rows=(rows_sel, row_mask),
+                scoring_groups=groups,
                 rngs={"dropout": rng_drop} if train else {},
             )
             # overflow accounting: valid clicks that did not fit in `cap`
