@@ -84,8 +84,10 @@ def create_args_parser():
     p.add_argument("--train_valid_row_capacity", type=int, default=0,
                    help="valid-row compaction capacity for the train step "
                    "(multiple of 8, >= your data's max per-batch valid "
-                   "clicks; 0 = off). Single-chip only — ignored with a "
-                   "mesh. See NARConfig.train_valid_row_capacity.")
+                   "clicks; 0 = off). Under a mesh the compaction is "
+                   "grouped per data shard (capacity must then also be "
+                   "divisible by 8*data_parallelism). See "
+                   "NARConfig.train_valid_row_capacity.")
     # feature toggles (reference enabled_*_features flags)
     p.add_argument("--enabled_internal_features", default="ALL",
                    help="comma list of recency,novelty,article_content_embeddings,"
@@ -239,10 +241,11 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         train_valid_row_capacity=(
             args.train_valid_row_capacity
-            if args.train_valid_row_capacity > 0
-            and args.data_parallelism <= 1 and args.model_parallelism <= 1
-            else None
+            if args.train_valid_row_capacity > 0 else None
         ),
+        # per-shard grouping keeps the compacted chain's gathers local to
+        # each data shard (no SPMD collectives)
+        train_compaction_groups=max(args.data_parallelism, 1),
     )
     run_cfg = RunConfig(
         model_dir=args.model_dir,

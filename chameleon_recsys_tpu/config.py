@@ -175,7 +175,8 @@ class NARConfig:
     # from data stats; bench.py computes it from its materialized batches).
     # If a batch exceeds the capacity, the overflow rows are EXCLUDED from
     # that step's gradient (visible via the dropped_clicks metric) — size
-    # generously.  None disables (exact reference behavior).
+    # generously.  None disables (exact reference behavior).  Under a mesh
+    # set train_compaction_groups = data_parallelism (below).
     train_valid_row_capacity: Optional[int] = None
     # Mesh-friendly compaction: partition/select/gather rows PER GROUP of
     # sessions instead of over the whole batch, with capacity/groups rows
