@@ -332,3 +332,16 @@ def test_grouped_compaction_on_mesh():
             np.asarray(getattr(h_cap.state.stream, field)),
             err_msg=field,
         )
+
+
+def test_compaction_with_dropout_dense_path():
+    """keep_prob < 1 disables the pooled path (feature dropout must be
+    drawn per (row, k)) — the compacted DENSE scorer must run and train."""
+    cfg = tiny_nar_config(keep_prob=0.8)
+    art, sess, ace, metadata, batch = _setup(cfg)
+    cfg_cap = dataclasses.replace(cfg, train_valid_row_capacity=48)
+    _, _, state = nar_init_state(cfg_cap, sess, art, batch, ace, metadata)
+    programs = build_nar_train(cfg_cap, sess, art)
+    state, metrics = programs.train_step(state, batch, ace, metadata)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["clicks"]) > 0
