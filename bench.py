@@ -458,7 +458,10 @@ def main():
             ).sum())
             for b in batches
         )
-        cap = min(round_up_to_scorer_tile(max_valid),
+        # round to 128 rows (not just the kernel's 8-row tile): the nicer
+        # multiple removes XLA pad/slice pairs around the scorer/gather at
+        # [cap*K, C] scale — measured +1.7% (17.52 → 17.23 ms)
+        cap = min(round_up_to_scorer_tile(max_valid, tile=128),
                   batches[0]["item_clicked"].shape[0]
                   * batches[0]["item_clicked"].shape[1])
         cfg = dataclasses.replace(cfg, train_valid_row_capacity=cap)
