@@ -161,8 +161,11 @@ class ACRClassifierModel(nn.Module):
                     w = label_class_weights[spec.name][y] * ew
                 else:
                     w = ew
-                # tf.losses weighted mean: Σ w·xe / Σ w
-                loss = jnp.sum(xe * w) / jnp.maximum(jnp.sum(w), 1e-9)
+                # tf.losses.sparse_softmax_cross_entropy default reduction is
+                # SUM_BY_NONZERO_WEIGHTS (acr_model.py:196-198): the weighted
+                # sum divides by the COUNT of nonzero weights, not Σw.
+                n_present = jnp.sum((w != 0).astype(jnp.float32))
+                loss = jnp.sum(xe * w) / jnp.maximum(n_present, 1.0)
             elif spec.classification_type == "multilabel":
                 # labels y: [B, num_ids] padded id lists → multi-hot with the
                 # padding class zeroed (acr_model.py:202-210)
