@@ -45,14 +45,37 @@ def main(argv=None):
     p.add_argument("--param_grid", default="",
                    help="JSON dict of NARConfig field -> list of values "
                         "(defaults to the reference hypertuning grids)")
+    p.add_argument("--sweep_spec", default="",
+                   help="path to a YAML/JSON sweep spec — either the "
+                        "reference's ML Engine layout "
+                        "(nar_mlengine_hypertuning.yaml) or the flat "
+                        "{params, objective, ...} layout; overrides "
+                        "--param_grid/--max_trials/--objective")
     p.add_argument("--objective", default="mrr_at_n")
+    p.add_argument("--max_parallel", type=int, default=1)
     args = p.parse_args(argv)
     if args.platform:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
 
-    param_grid = json.loads(args.param_grid) if args.param_grid else DEFAULT_GRID
+    goal = "MAXIMIZE"
+    if args.sweep_spec:
+        from ..train.sweep import load_sweep_spec
+
+        spec = load_sweep_spec(args.sweep_spec)
+        param_grid = spec.param_grid
+        goal = spec.goal
+        if spec.objective:
+            args.objective = spec.objective
+        if spec.max_trials:
+            args.max_trials = spec.max_trials
+        if spec.max_parallel:
+            args.max_parallel = spec.max_parallel
+    else:
+        param_grid = (
+            json.loads(args.param_grid) if args.param_grid else DEFAULT_GRID
+        )
 
     ace, metadata = load_acr_module_resources(
         args.acr_module_articles_metadata_csv_path,
@@ -129,6 +152,8 @@ def main(argv=None):
         hours=range(len(files)),
         objective=args.objective,
         max_trials=args.max_trials,
+        max_parallel=args.max_parallel,
+        goal=goal,
     )
     best = results[0]
     print(f"Best trial {best.trial_id}: {args.objective}={best.objective:.5f} "

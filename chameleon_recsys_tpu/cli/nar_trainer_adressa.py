@@ -63,6 +63,11 @@ def main(argv=None):
     p.add_argument("--enabled_articles_input_features_groups", default="ALL",
                    help="comma list of category,author, or ALL/NONE")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
+    p.add_argument("--save_scalars", action="store_true",
+                   help="write per-step train scalars to train_scalars.jsonl")
+    p.add_argument("--save_histograms", action="store_true",
+                   help="write per-hour parameter histograms to "
+                        "train_histograms.jsonl (makes the job slower)")
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--train_valid_row_capacity", type=int, default=0,
                    help="valid-row compaction capacity for the train step "
@@ -187,6 +192,8 @@ def main(argv=None):
         cfg, run_cfg, session_schema, article_schema, ace, metadata,
         benchmarks=() if args.disable_eval_benchmarks else default_benchmarks(ace),
         mesh_plan=mesh_plan,
+        save_scalars=args.save_scalars,
+        save_histograms=args.save_histograms,
     )
 
     def hour_source(hour_idx):

@@ -101,6 +101,13 @@ def create_args_parser():
     p.add_argument("--eval_cold_start", action="store_true")
     p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
     p.add_argument("--save_eval_sessions_recommendations", action="store_true")
+    # per-step observability channel (reference TensorBoard scalars +
+    # --save_histograms, nar_trainer_gcom.py:54): JSONL under model_dir
+    p.add_argument("--save_scalars", action="store_true",
+                   help="write per-step train scalars to train_scalars.jsonl")
+    p.add_argument("--save_histograms", action="store_true",
+                   help="write per-hour parameter histograms to "
+                        "train_histograms.jsonl (makes the job slower)")
     p.add_argument("--resume_checkpoint", default="")
     # multi-chip: jit train/eval over a (data × model) mesh
     # (parallel/sharded.py); 0 = single-device jax.jit.  data_parallelism
@@ -303,6 +310,8 @@ def main(argv=None):
         benchmark_workers=(
             None if args.benchmark_workers < 0 else args.benchmark_workers
         ),
+        save_scalars=args.save_scalars,
+        save_histograms=args.save_histograms,
     )
     resume_ckpt = args.resume_checkpoint
     if store is not None and args.warmup_model_dir and not resume_ckpt:

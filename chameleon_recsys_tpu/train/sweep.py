@@ -30,6 +30,88 @@ class TrialResult:
     metrics: Dict
 
 
+# Reference ML Engine parameterName -> NARConfig field
+# (nar_mlengine_hypertuning.yaml:9-51 vs the tf.flags they map to,
+# nar_trainer_gcom.py:37-93).
+_MLENGINE_PARAM_MAP = {
+    "batch_size": "batch_size",
+    "train_total_negative_samples": "negative_samples",
+    "eval_total_negative_samples": "eval_negative_samples",
+    "CAR_embedding_size": "car_embedding_size",
+    "rnn_units": "rnn_units",
+    "rnn_num_layers": "rnn_num_layers",
+    "learning_rate": "learning_rate",
+    "dropout_keep_prob": "keep_prob",
+    "reg_l2": "reg_weight_decay",
+    "reg_l2_rate": "reg_weight_decay",
+    "softmax_temperature": "softmax_temperature",
+    "novelty_reg_factor": "novelty_reg_factor",
+}
+
+
+@dataclasses.dataclass
+class SweepSpec:
+    """Declarative sweep description (reference
+    nar_mlengine_hypertuning.yaml:1-51)."""
+
+    param_grid: Dict[str, List]
+    objective: str = "mrr_at_n"
+    goal: str = "MAXIMIZE"
+    max_trials: Optional[int] = None
+    max_parallel: int = 1
+
+
+def load_sweep_spec(path: str) -> SweepSpec:
+    """Load a YAML/JSON sweep spec.
+
+    Accepts BOTH shapes:
+      * the reference's ML Engine layout —
+        ``trainingInput.hyperparameters.{goal, hyperparameterMetricTag,
+        maxTrials, maxParallelTrials, params: [{parameterName, type:
+        DISCRETE, discreteValues: [...]}]}``
+        (nar_mlengine_hypertuning.yaml:1-51), with parameterName translated
+        through the reference-flag -> NARConfig map; and
+      * a flat native layout — ``{params: {field: [values]}, objective,
+        goal, max_trials, max_parallel}`` using NARConfig field names
+        directly.
+    """
+    text = Path(path).read_text()
+    if path.endswith((".yaml", ".yml")):
+        import yaml
+
+        spec = yaml.safe_load(text)
+    else:
+        spec = json.loads(text)
+
+    if "trainingInput" in spec:  # ML Engine shape
+        hp = spec["trainingInput"]["hyperparameters"]
+        grid: Dict[str, List] = {}
+        for param in hp.get("params", []):
+            name = param["parameterName"]
+            field = _MLENGINE_PARAM_MAP.get(name, name)
+            if param.get("type", "DISCRETE").upper() != "DISCRETE":
+                raise ValueError(
+                    f"only DISCRETE params are supported, got "
+                    f"{param.get('type')} for {name}"
+                )
+            grid[field] = list(param["discreteValues"])
+        return SweepSpec(
+            param_grid=grid,
+            objective=hp.get("hyperparameterMetricTag", "mrr_at_n"),
+            goal=hp.get("goal", "MAXIMIZE"),
+            max_trials=hp.get("maxTrials"),
+            max_parallel=int(hp.get("maxParallelTrials", 1)),
+        )
+
+    return SweepSpec(
+        param_grid={k: list(v) for k, v in spec["params"].items()},
+        objective=spec.get("objective", "mrr_at_n"),
+        goal=spec.get("goal", "MAXIMIZE"),
+        max_trials=spec.get("max_trials"),
+        max_parallel=int(spec.get("max_parallel", 1)),
+    )
+
+
 def grid(param_grid: Dict[str, Sequence]) -> List[Dict]:
     """All combinations of a discrete grid (hypertuning yaml's DISCRETE
     params)."""
@@ -51,6 +133,7 @@ def run_sweep(
     max_trials: Optional[int] = None,
     seed: int = 42,
     max_parallel: int = 1,
+    goal: str = "MAXIMIZE",
 ) -> List[TrialResult]:
     """Run trials, returning results sorted by objective descending (goal:
     MAXIMIZE, hypertuning yaml:2-8).
@@ -94,7 +177,9 @@ def run_sweep(
     else:
         results = [run_trial(i, o) for i, o in enumerate(trials)]
 
-    results.sort(key=lambda r: -r.objective)
+    results.sort(
+        key=lambda r: -r.objective if goal.upper() == "MAXIMIZE" else r.objective
+    )
     out = Path(run_cfg.model_dir)
     out.mkdir(parents=True, exist_ok=True)
     with open(out / "sweep_results.json", "w") as f:

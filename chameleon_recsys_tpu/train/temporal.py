@@ -89,6 +89,9 @@ class TemporalHarness:
         mesh_plan=None,
         mesh_min_rows: int = 4096,
         benchmark_workers: Optional[int] = None,
+        save_scalars: bool = False,
+        save_histograms: bool = False,
+        histograms_every_n_hours: int = 1,
     ):
         # Remote artifact sync seam (reference GCS workflow shape,
         # gcs_utils.py:22-109): every export also uploads model_dir to the
@@ -190,6 +193,20 @@ class TemporalHarness:
             import weakref
 
             weakref.finalize(self, self._bench_pool.shutdown, False)
+        # Per-step observability channel (reference TensorBoard scalars /
+        # --save_histograms twin, nar_trainer_gcom.py:54): JSONL sinks under
+        # model_dir, flushed per hour so no step ever syncs the device.
+        self.scalar_writer = None
+        self.histogram_writer = None
+        self.histograms_every_n_hours = max(1, histograms_every_n_hours)
+        if save_scalars:
+            from ..utils.summary import ScalarWriter
+
+            self.scalar_writer = ScalarWriter(run_cfg.model_dir)
+        if save_histograms:
+            from ..utils.summary import HistogramWriter
+
+            self.histogram_writer = HistogramWriter(run_cfg.model_dir)
         self.hours_trained = 0
         # Count of completed chunk evals — checkpointed so a resume from a
         # checkpoint taken between a chunk's train and its eval re-runs that
@@ -319,6 +336,7 @@ class TemporalHarness:
     def train_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
         self._ensure_initialized(sessions)
         n_steps, losses = 0, []
+        pending_scalars = []  # (step, device metrics) — flushed per hour
         self.train_meter.start()
         for np_batch in self._batches(sessions):
             batch = self._put_batch(np_batch)
@@ -327,6 +345,10 @@ class TemporalHarness:
             )
             # keep the device scalar — converting here would sync every step
             losses.append(metrics["ce_loss"])
+            if self.scalar_writer is not None:
+                pending_scalars.append(
+                    (int(self.host_state.current_step) + 1, metrics)
+                )
             n_steps += 1
             self.train_meter.stop(
                 1, int((np_batch["session_size"] > 0).sum()), 0
@@ -341,6 +363,20 @@ class TemporalHarness:
             self.train_meter.start()
         self.train_meter.stop(0)
         self.hours_trained += 1
+        if self.scalar_writer is not None:
+            for step, m in pending_scalars:
+                self.scalar_writer.write(
+                    step, {k: float(v) for k, v in m.items()}
+                )
+            self.scalar_writer.flush()
+        if (
+            self.histogram_writer is not None
+            and self.hours_trained % self.histograms_every_n_hours == 0
+        ):
+            self.histogram_writer.write_tree(
+                int(self.host_state.current_step), self.state.params,
+                prefix="params/",
+            )
         avg_loss = float(np.mean([float(x) for x in losses])) if losses else 0.0
         return {"steps": n_steps, "avg_ce_loss": avg_loss}
 

@@ -97,3 +97,84 @@ def test_run_sweep_parallel_matches_serial(tmp_path):
         return rows
 
     assert load("serial") == load("parallel")
+
+
+def test_load_sweep_spec_mlengine_yaml(tmp_path):
+    """The reference ML Engine layout (nar_mlengine_hypertuning.yaml:1-51)
+    translates parameterName -> NARConfig fields."""
+    from chameleon_recsys_tpu.train.sweep import load_sweep_spec
+
+    spec_path = tmp_path / "spec.yaml"
+    spec_path.write_text(
+        "trainingInput:\n"
+        "  hyperparameters:\n"
+        "    goal: MAXIMIZE\n"
+        "    hyperparameterMetricTag: mrr_at_n\n"
+        "    maxTrials: 30\n"
+        "    maxParallelTrials: 2\n"
+        "    params:\n"
+        "      - parameterName: batch_size\n"
+        "        type: DISCRETE\n"
+        "        discreteValues: [64, 256]\n"
+        "      - parameterName: train_total_negative_samples\n"
+        "        type: DISCRETE\n"
+        "        discreteValues: [5, 10]\n"
+        "      - parameterName: dropout_keep_prob\n"
+        "        type: DISCRETE\n"
+        "        discreteValues: [0.8, 1.0]\n"
+        "      - parameterName: reg_l2\n"
+        "        type: DISCRETE\n"
+        "        discreteValues: [0.00001]\n"
+    )
+    spec = load_sweep_spec(str(spec_path))
+    assert spec.param_grid == {
+        "batch_size": [64, 256],
+        "negative_samples": [5, 10],
+        "keep_prob": [0.8, 1.0],
+        "reg_weight_decay": [0.00001],
+    }
+    assert spec.objective == "mrr_at_n"
+    assert spec.goal == "MAXIMIZE"
+    assert spec.max_trials == 30
+    assert spec.max_parallel == 2
+    # every NARConfig field named in the grid must exist
+    import dataclasses as dc
+
+    from chameleon_recsys_tpu.config import NARConfig
+
+    fields = {f.name for f in dc.fields(NARConfig)}
+    assert set(spec.param_grid) <= fields
+
+
+def test_load_sweep_spec_flat_json(tmp_path):
+    from chameleon_recsys_tpu.train.sweep import load_sweep_spec
+
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(
+        json.dumps({
+            "params": {"rnn_units": [8, 16]},
+            "objective": "hitrate_at_n",
+            "max_trials": 4,
+        })
+    )
+    spec = load_sweep_spec(str(spec_path))
+    assert spec.param_grid == {"rnn_units": [8, 16]}
+    assert spec.objective == "hitrate_at_n"
+    assert spec.max_trials == 4
+    assert spec.max_parallel == 1
+
+
+def test_shipped_mlengine_spec_parses():
+    """The example spec mirroring the reference YAML must load and map every
+    parameter to a real NARConfig field."""
+    import dataclasses as dc
+    from pathlib import Path
+
+    from chameleon_recsys_tpu.config import NARConfig
+    from chameleon_recsys_tpu.train.sweep import load_sweep_spec
+
+    path = Path(__file__).parent.parent / "examples" / "nar_hypertuning_gcom.yaml"
+    spec = load_sweep_spec(str(path))
+    fields = {f.name for f in dc.fields(NARConfig)}
+    assert set(spec.param_grid) <= fields
+    assert spec.max_trials == 30 and spec.max_parallel == 2
