@@ -47,6 +47,7 @@ def _topic_separation(matrix, topics):
     return np.mean(same), np.mean(diff)
 
 
+@pytest.mark.slow
 def test_lsa_ace(corpus):
     token_ids, texts, word_emb, topics, _ = corpus
     matrix = lsa_ace(texts, dim=8)

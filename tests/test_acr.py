@@ -53,6 +53,7 @@ def _cfg(**kw):
 
 
 @pytest.mark.parametrize("extractor", ["CNN", "GRU", "LSTM"])
+@pytest.mark.slow
 def test_classifier_trains_and_exports(extractor, tmp_path):
     word_emb, articles, n_cats = _corpus()
     cfg = _cfg(text_feature_extractor=extractor)

@@ -66,6 +66,8 @@ def raw(tmp_path_factory):
     return root, n_articles
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_adressa_chain(raw, tmp_path):
     from chameleon_recsys_tpu.cli import (
         acr_preprocess_adressa,

@@ -2,6 +2,8 @@
 (reference GCS workflow shape, gcs_utils.py:22-109, nar_trainer_gcom.py:450-459)."""
 import os
 
+import pytest
+
 import numpy as np
 
 from chameleon_recsys_tpu.config import RunConfig
@@ -47,6 +49,7 @@ def test_local_store_roundtrip(tmp_path):
     assert not (dst2 / "model.ckpt").exists()
 
 
+@pytest.mark.slow
 def test_harness_sync_and_warm_start(tmp_path):
     cfg = tiny_nar_config(batch_size=8, max_session_length=6)
     art = tiny_article_schema(120)

@@ -30,6 +30,7 @@ def test_forward_matches_reference():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_autodiff():
     inp = _make_inputs(bt_total=_BT_TILE * 2, k=5, c=32, m1=16, m2=8, m3=8)
     keys = list(inp.keys())

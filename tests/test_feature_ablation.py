@@ -53,6 +53,7 @@ def test_filter_article_schema_groups():
         InternalFeaturesConfig(True, True, False, False),
     ],
 )
+@pytest.mark.slow
 def test_model_trains_with_ablated_features(internal):
     cfg = tiny_nar_config()
     import dataclasses

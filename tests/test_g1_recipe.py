@@ -29,6 +29,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # module fixture is compile-heavy
+
 REPO = Path(__file__).resolve().parent.parent
 
 NUM_ITEMS = 300

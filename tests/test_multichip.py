@@ -10,6 +10,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as graft
 
@@ -85,6 +86,7 @@ def _equivalence_setup():
     return build, plan, hour_source
 
 
+@pytest.mark.slow
 def test_single_vs_mesh_first_step_exact():
     """Forward loss of the very first step is bit-equal; the first step's
     Adam moments (= bias-scaled gradients) match at float tolerance.
@@ -113,6 +115,7 @@ def test_single_vs_mesh_first_step_exact():
     assert moment_diff < 1e-4, moment_diff
 
 
+@pytest.mark.slow
 def test_single_vs_mesh_stream_state_identical():
     """The integer streaming state (buffer ids/timestamps, popularity
     counters, step) must be EXACTLY equal across the paths after multiple
@@ -131,6 +134,7 @@ def test_single_vs_mesh_stream_state_identical():
     assert int(h1.state.stream.current_step) == int(h2.state.stream.current_step)
 
 
+@pytest.mark.slow
 def test_single_vs_mesh_losses_and_eval():
     """Multi-hour training + eval: the sharded path must reproduce the
     single-device RANKED LISTS click by click, modulo the documented Adam
@@ -182,6 +186,7 @@ def test_single_vs_mesh_losses_and_eval():
         assert r["hitrate_at_n"] == pytest.approx(r["hitrate_at_n_chameleon"])
 
 
+@pytest.mark.slow
 def test_mesh_eval_exact_given_same_params():
     """Eval is forward-only: with identical params/state the sharded eval
     step must reproduce the single-device ranking probabilities."""
@@ -204,6 +209,7 @@ def test_mesh_eval_exact_given_same_params():
     assert r1["mrr_at_n"] == pytest.approx(r2["mrr_at_n"], abs=1e-3)
 
 
+@pytest.mark.slow
 def test_mesh_checkpoint_resume_reshards():
     """load_checkpoint under a mesh re-places the restored state with the
     sharded layout and training continues."""

@@ -1,4 +1,5 @@
 """NAR model: init, forward shapes, gradient flow, and loss descent."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def _setup(num_items=200, **cfg_overrides):
     return cfg, article_schema, session_schema, ace, metadata, batch
 
 
+@pytest.mark.slow
 def test_train_step_shapes_and_finite():
     cfg, art, sess, ace, metadata, batch = _setup()
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
@@ -68,6 +70,7 @@ def test_positive_always_in_candidates_and_ranking_consistent():
         assert labels[b, t] in pred[b, t]
 
 
+@pytest.mark.slow
 def test_loss_decreases_on_fixed_batch():
     cfg, art, sess, ace, metadata, batch = _setup(learning_rate=3e-3)
     model, opt, state = nar_init_state(cfg, sess, art, batch, ace, metadata)
@@ -79,6 +82,7 @@ def test_loss_decreases_on_fixed_batch():
     assert losses[-1] < losses[0] * 0.7, losses[::10]
 
 
+@pytest.mark.slow
 def test_padded_sessions_do_not_contribute():
     cfg, art, sess, ace, metadata, batch = _setup()
     # zero out half of the batch
@@ -96,6 +100,7 @@ def test_padded_sessions_do_not_contribute():
     assert int(metrics["sessions"]) == half
 
 
+@pytest.mark.slow
 def test_rbg_prng_full_step_and_raw_key_checkpoint():
     """cfg.rng_impl='rbg' (XLA RngBitGenerator — the fast TPU PRNG) must run
     the full train/eval step; the state carries raw key DATA so a plain

@@ -39,6 +39,7 @@ def test_pooled_sampler_matches_plain():
     assert int(np.asarray(pool)[-1]) == 0  # sentinel row
 
 
+@pytest.mark.slow
 def test_pooled_model_path_matches_dense():
     cfg = tiny_nar_config()
     art = tiny_article_schema(200)
@@ -83,6 +84,7 @@ def test_pooled_model_path_matches_dense():
     assert float(pooled.ce_loss) == pytest.approx(float(dense.ce_loss), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_pooled_path_with_novelty_reg_trains():
     """Novelty regularization reads negative ids; it must work on the pooled
     path (train + keep_prob=1.0)."""
@@ -167,6 +169,7 @@ def test_fused_scorer_matches_pooled_path():
     assert float(fused.ce_loss) == pytest.approx(float(base.ce_loss), rel=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_scorer_gradients_match():
     """Full train-step gradient parity: fused scorer vs pooled XLA path."""
     from chameleon_recsys_tpu.train.steps import build_nar_train

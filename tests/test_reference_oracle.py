@@ -580,6 +580,7 @@ def _acr_setup(extractor):
 
 
 @pytest.mark.parametrize("extractor", ["CNN", "GRU"])
+@pytest.mark.slow
 def test_acr_classifier_matches_reference(extractor):
     cfg, specs, tokens, word_emb, labels, class_weights = _acr_setup(
         extractor

@@ -51,6 +51,8 @@ def _valid_partition(batch):
 
 
 @pytest.mark.parametrize("fused", [False, True])
+@pytest.mark.slow
+@pytest.mark.slow
 def test_compacted_loss_matches_full_given_same_negatives(fused):
     """scoring_rows with the SAME per-row negatives as the full grid must
     produce the identical masked-mean loss (the compaction is pure
@@ -107,6 +109,8 @@ def test_compacted_loss_matches_full_given_same_negatives(fused):
     )
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_compacted_gradients_match_full(monkeypatch):
     """Same negatives → same gradients (the compaction changes only the
     iteration space, not the math)."""
@@ -159,6 +163,8 @@ def test_compacted_gradients_match_full(monkeypatch):
     jax.tree_util.tree_map_with_path(check, g_full, g_comp)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_train_step_with_capacity_runs_and_counts_drops():
     cfg = tiny_nar_config()
     art, sess, ace, metadata, batch = _setup(cfg)
@@ -207,6 +213,8 @@ def test_rows_sampler_excludes_session_items():
     np.testing.assert_array_equal(np.asarray(pool)[np.asarray(idx)], ids)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_harness_with_capacity_stream_state_identical():
     """Compaction changes WHICH rows are scored, never the stream-state
     update (which consumes the raw batch clicks) — so integer stream state
@@ -251,6 +259,8 @@ def test_harness_with_capacity_stream_state_identical():
     assert abs(row_full["hitrate_at_n"] - row_cap["hitrate_at_n"]) < 0.25
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_grouped_compaction_matches_flat_selection():
     """groups>1 partitions per session group: each group's valid rows come
     first within that group.  Verify the selected rows equal the per-group
@@ -286,6 +296,8 @@ def test_grouped_compaction_matches_flat_selection():
     assert row_mask.sum() == per_group_valid.clip(max=cap // groups).sum()
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_grouped_compaction_on_mesh():
     """capacity + groups=data_parallelism over an 8-device CPU mesh: the
     sharded train step compiles, runs, and keeps the stream state exactly
@@ -334,6 +346,8 @@ def test_grouped_compaction_on_mesh():
         )
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_compaction_with_dropout_dense_path():
     """keep_prob < 1 disables the pooled path (feature dropout must be
     drawn per (row, k)) — the compacted DENSE scorer must run and train."""

@@ -15,6 +15,8 @@ from chameleon_recsys_tpu.train.temporal import TemporalHarness
 
 from conftest import tiny_article_schema, tiny_nar_config, tiny_session_schema
 
+pytestmark = pytest.mark.slow  # module fixture is compile-heavy
+
 
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):

@@ -1,4 +1,5 @@
 """Hyperparameter sweep runner over the temporal harness."""
+import pytest
 import json
 import os
 
@@ -19,6 +20,7 @@ def test_grid_combinations():
     assert {"learning_rate": 1e-3, "rnn_units": 24} in combos
 
 
+@pytest.mark.slow
 def test_run_sweep_orders_by_objective(tmp_path):
     cfg = tiny_nar_config(batch_size=8, max_session_length=6)
     art = tiny_article_schema(120)
@@ -52,6 +54,7 @@ def test_run_sweep_orders_by_objective(tmp_path):
     assert len(payload) == 2
 
 
+@pytest.mark.slow
 def test_run_sweep_parallel_matches_serial(tmp_path):
     """max_parallel=2 (the reference's maxParallelTrials,
     nar_mlengine_hypertuning.yaml:8) must produce the same results file as

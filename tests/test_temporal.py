@@ -56,6 +56,7 @@ def _make_harness(cfg, run_cfg, art, sess, corpus, **kw):
     )
 
 
+@pytest.mark.slow
 def test_temporal_loop_produces_metric_rows(harness_setup):
     cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
     h = _make_harness(
@@ -79,6 +80,7 @@ def test_temporal_loop_produces_metric_rows(harness_setup):
     assert os.path.exists(os.path.join(run_cfg.model_dir, "eval_stats_benchmarks.csv"))
 
 
+@pytest.mark.slow
 def test_eval_restores_stream_state(harness_setup):
     cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
     h = _make_harness(cfg, run_cfg, art, sess, corpus)
@@ -90,6 +92,7 @@ def test_eval_restores_stream_state(harness_setup):
     assert int(h.state.stream.current_step) == step_before
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(harness_setup, tmp_path):
     cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
     h1 = _make_harness(cfg, run_cfg, art, sess, corpus)
@@ -108,6 +111,7 @@ def test_checkpoint_roundtrip(harness_setup, tmp_path):
     assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_resume_skips_trained_hours(harness_setup, tmp_path):
     """run() after load_checkpoint continues from the hour cursor instead of
     re-training from hour 0."""
@@ -136,6 +140,7 @@ def test_resume_skips_trained_hours(harness_setup, tmp_path):
     assert len(h2.artifacts.eval_sessions_metrics_log) >= rows_before
 
 
+@pytest.mark.slow
 def test_orbax_checkpoint_roundtrip(harness_setup, tmp_path):
     cfg, run_cfg, art, sess, corpus, hour_source = harness_setup
     h1 = _make_harness(cfg, run_cfg, art, sess, corpus)
@@ -155,6 +160,7 @@ def test_orbax_checkpoint_roundtrip(harness_setup, tmp_path):
     assert s1["avg_ce_loss"] == pytest.approx(s2["avg_ce_loss"], rel=1e-5)
 
 
+@pytest.mark.slow
 def test_first_click_tracking_always_on(harness_setup):
     """items_first_click_step must be updated even with eval_cold_start off
     (reference hook order, nar_model.py:1481-1494): enabling cold-start
@@ -166,6 +172,7 @@ def test_first_click_tracking_always_on(harness_setup):
     assert h.host_state.current_step > 0
 
 
+@pytest.mark.slow
 def test_resume_reruns_pending_eval(harness_setup, tmp_path):
     """A checkpoint taken after a chunk's training but BEFORE its eval must
     re-run that eval on resume — no silently dropped eval CSV row."""
@@ -195,6 +202,7 @@ def test_resume_reruns_pending_eval(harness_setup, tmp_path):
     assert h2.evals_done == 1
 
 
+@pytest.mark.slow
 def test_parallel_benchmark_tier_matches_serial(harness_setup):
     """The thread-pool benchmark tier must be observably identical to the
     serial loop: each classifier is independent (own metric set, own
@@ -285,6 +293,7 @@ def test_parallel_tier_auto_serial_with_global_rng_baseline(harness_setup):
     assert h._bench_pool is None
 
 
+@pytest.mark.slow
 def test_cold_start_prediction_reuse_matches_recompute(harness_setup, monkeypatch):
     """The cold-start pass reuses the eval predictions stashed by
     clf.evaluate (deterministic classifiers; reference nar_model.py:
