@@ -1,0 +1,106 @@
+"""Full-scale pseudo-G1 generator: Kaggle-schema invariants, determinism,
+and compatibility with the unmodified preprocessing CLI.
+
+The generator fabricates the campaign dataset of RESULTS.md at the real G1
+shape (46,033 articles / 385 hourly files / ~1M sessions); these tests run
+it at a tiny shape through the same code paths.
+"""
+import csv
+import pickle
+from pathlib import Path
+
+import numpy as np
+
+from chameleon_recsys_tpu.data.pseudo_g1 import (
+    HOUR_MS,
+    T0_MS,
+    PseudoG1Spec,
+    generate_hour_clicks,
+    make_pseudo_g1_articles,
+    write_bundle,
+)
+
+SPEC = PseudoG1Spec(
+    num_articles=400, num_categories=12, ace_dim=16, hours=6,
+    mean_sessions_per_hour=60, num_users=500, seed=3,
+)
+
+
+def test_hour_clicks_invariants():
+    arts = make_pseudo_g1_articles(SPEC)
+    for h in range(SPEC.hours):
+        cols = generate_hour_clicks(SPEC, arts, h)
+        items = cols["click_article_id"]
+        assert (items >= 1).all() and (items <= SPEC.num_articles).all()
+        # clicks only land on live (born, not yet dead) articles
+        age_h = (T0_MS + h * HOUR_MS - arts.created_at_ms[items]) / HOUR_MS
+        assert (age_h >= 0).all() and (age_h < SPEC.live_window_hours).all()
+        # session_start within the hour; clicks ordered from session_start
+        assert (cols["session_start"] >= T0_MS + h * HOUR_MS).all()
+        assert (cols["session_start"] < T0_MS + (h + 1) * HOUR_MS).all()
+        assert (cols["click_timestamp"] >= cols["session_start"]).all()
+        # session sizes consistent with the exploded rows
+        sid, counts = np.unique(cols["session_id"], return_counts=True)
+        by_sid = dict(zip(sid.tolist(), counts.tolist()))
+        assert all(
+            by_sid[s] == z
+            for s, z in zip(cols["session_id"].tolist(),
+                            cols["session_size"].tolist())
+        )
+        assert (cols["session_size"] >= 2).all()
+        assert (cols["session_size"] <= SPEC.max_session_length).all()
+
+
+def test_category_stickiness_present():
+    """The follow-category transition signal must be visible in the stream
+    (this is what makes content features predictive)."""
+    arts = make_pseudo_g1_articles(SPEC)
+    same = total = 0
+    for h in range(SPEC.hours):
+        cols = generate_hour_clicks(SPEC, arts, h)
+        sid = cols["session_id"]
+        cats = arts.categories[cols["click_article_id"]]
+        consec = sid[1:] == sid[:-1]
+        same += int((cats[1:][consec] == cats[:-1][consec]).sum())
+        total += int(consec.sum())
+    assert total > 100
+    # base rate of a random pair sharing a category is far below 0.5
+    assert same / total > 0.5
+
+
+def test_bundle_deterministic_and_cli_compatible(tmp_path):
+    out1, out2 = tmp_path / "a", tmp_path / "b"
+    write_bundle(SPEC, str(out1), num_workers=1, verbose=False)
+    write_bundle(SPEC, str(out2), num_workers=2, verbose=False)
+    for rel in ["articles_metadata.csv", "clicks/clicks_hour_003.csv"]:
+        assert (out1 / rel).read_bytes() == (out2 / rel).read_bytes()
+
+    with open(out1 / "articles_embeddings.pickle", "rb") as f:
+        ace = pickle.load(f)
+    assert ace.shape == (SPEC.num_articles + 1, SPEC.ace_dim)
+    assert ace.dtype == np.float32 and not ace[1:].any(axis=1).argmin()
+
+    with open(out1 / "articles_metadata.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == SPEC.num_articles + 1
+    assert rows[0]["article_id"] == "0"
+
+    # the unmodified G1 preprocessing CLI consumes the bundle directly
+    from chameleon_recsys_tpu.cli.nar_preprocess_gcom import main as pre_main
+    from chameleon_recsys_tpu.data.sessions import read_sessions_tfrecord
+    from chameleon_recsys_tpu.config import gcom_session_schema
+
+    out_tfr = tmp_path / "tfr"
+    out_tfr.mkdir()
+    pre_main([
+        "--input_clicks_csv_path_regex", str(out1 / "clicks" / "clicks_hour_*.csv"),
+        "--output_sessions_tfrecords_path", str(out_tfr / "sessions_hour_*.tfrecord.gz"),
+        "--number_hours_to_preprocess", "1",
+        "--platform", "cpu",
+    ])
+    sessions = read_sessions_tfrecord(
+        str(out_tfr / "sessions_hour_000.tfrecord.gz"),
+        gcom_session_schema(num_items=SPEC.num_articles + 1),
+    )
+    assert len(sessions) > 10
+    assert all(len(s.item_ids) >= 2 for s in sessions)
