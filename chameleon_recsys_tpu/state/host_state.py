@@ -15,8 +15,8 @@ benchmark or metric needs it.
 from __future__ import annotations
 
 import copy
-from itertools import permutations
-from typing import Dict, Optional
+import threading
+from typing import Dict, List, Optional
 
 import numpy as np
 from scipy.sparse import csr_matrix
@@ -25,35 +25,68 @@ from scipy.sparse import csr_matrix
 class HostState:
     def __init__(self, num_items: int):
         self.num_items = num_items
+        # guards the pending-pair flush: the benchmark tier reads the
+        # matrix from a thread pool, and a read now materializes
+        self._cooc_lock = threading.Lock()
         self.reset()
 
     def reset(self):
-        self.items_coocurrences = csr_matrix(
+        self._cooc = csr_matrix(
             (self.num_items, self.num_items), dtype=np.int64
         )
+        self._pending_pairs: List[np.ndarray] = []  # [2, n] row/col stacks
         self.benchmarks_states: Dict[str, object] = {}
         self.items_first_click_step: Dict[int, int] = {}
         self.current_step = 0
         self._checkpoint = None
 
     # -- co-occurrence ------------------------------------------------------
+    @property
+    def items_coocurrences(self) -> csr_matrix:
+        """Materialized co-occurrence matrix.
+
+        Updates accumulate in a pending COO buffer and fold in here on
+        read: a csr ``A + delta`` costs O(nnz(A)) — re-paying it on every
+        TRAIN batch made the host tier quadratic over a long stream, while
+        no baseline reads the matrix between evals.  Readers (baseline
+        ``predict``, checkpointing) always see every prior ``update``.
+        """
+        with self._cooc_lock:
+            if self._pending_pairs:
+                pairs = np.concatenate(self._pending_pairs, axis=1)
+                self._pending_pairs = []
+                delta = csr_matrix(
+                    (np.ones(pairs.shape[1], dtype=np.int64),
+                     (pairs[0], pairs[1])),
+                    shape=(self.num_items, self.num_items),
+                )
+                self._cooc = self._cooc + delta
+            return self._cooc
+
+    @items_coocurrences.setter
+    def items_coocurrences(self, value: csr_matrix):
+        self._cooc = value
+        self._pending_pairs = []
+
     def update_items_coocurrences(self, batch_clicked_items: np.ndarray):
-        """Counts within-session ordered pairs (clicked_items_state.py:252-256)."""
-        rows_all, cols_all = [], []
-        for session_items in batch_clicked_items:
-            nonzero = session_items[np.nonzero(session_items)]
-            pairs = list(permutations(nonzero, r=2))
-            if not pairs:
-                continue
-            r, c = zip(*pairs)
-            rows_all.extend(r)
-            cols_all.extend(c)
-        if rows_all:
-            delta = csr_matrix(
-                (np.ones(len(rows_all), dtype=np.int64), (rows_all, cols_all)),
-                shape=(self.num_items, self.num_items),
-            )
-            self.items_coocurrences = self.items_coocurrences + delta
+        """Counts within-session ordered pairs (clicked_items_state.py:252-256).
+
+        Vectorized: position pairs (t1 != t2) of valid clicks over the whole
+        [B, T] batch at once — output-identical to the reference's per-session
+        ``itertools.permutations`` loop (csr summation is order-independent
+        and repeated item values pair by position in both)."""
+        items = np.ascontiguousarray(batch_clicked_items)
+        valid = items != 0
+        if not valid.any():
+            return
+        b, t = items.shape
+        pair_valid = valid[:, :, None] & valid[:, None, :]
+        pair_valid &= ~np.eye(t, dtype=bool)
+        rows = np.broadcast_to(items[:, :, None], (b, t, t))[pair_valid]
+        cols = np.broadcast_to(items[:, None, :], (b, t, t))[pair_valid]
+        if rows.size:
+            with self._cooc_lock:
+                self._pending_pairs.append(np.stack([rows, cols]))
 
     # -- cold-start tracking ------------------------------------------------
     def increment_current_step(self):
