@@ -55,6 +55,9 @@ def load_article_arrays(tfrecord_paths, truncate_tokens_length):
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--train_set_path_regex", required=True)
     p.add_argument("--input_word_vocab_embeddings_path", required=True)

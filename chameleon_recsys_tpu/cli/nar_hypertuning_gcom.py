@@ -39,6 +39,9 @@ DEFAULT_GRID = {
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     logging.basicConfig(level=logging.INFO)
     p = create_args_parser()
     p.add_argument("--max_trials", type=int, default=30)

@@ -27,6 +27,9 @@ RANDOM_SEED = 42
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     logging.basicConfig(level=logging.INFO)
     p = argparse.ArgumentParser()
     p.add_argument("--train_set_path_regex", required=True)

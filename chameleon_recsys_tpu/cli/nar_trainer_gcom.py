@@ -202,6 +202,9 @@ def default_benchmarks(ace_matrix):
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     logging.basicConfig(level=logging.INFO)
     args = create_args_parser().parse_args(argv)
     if args.platform:

@@ -130,6 +130,9 @@ def run_from_args(args, model_factory=None):
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     run_from_args(build_parser().parse_args(argv))
 
 

@@ -15,6 +15,9 @@ from .run_gru4rec import build_parser, run_from_args
 
 
 def main(argv=None):
+    from ..utils.jax_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     p = build_parser()
     p.add_argument("--hidden_size", type=int, default=100)
     p.add_argument("--gnn_steps", type=int, default=1)
