@@ -34,6 +34,10 @@ import numpy as np
 
 jax.config.update("jax_platforms", "cpu")
 
+from chameleon_recsys_tpu.utils.jax_cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 from chameleon_recsys_tpu.config import (
     NARConfig,
     gcom_article_schema,
@@ -108,6 +112,7 @@ def classify_axis(groups_str: str, dp: int, mp: int) -> str:
 
 def account(hlo_text: str, dp: int, mp: int):
     per = {}
+    ops = []
     for m in _COLL_RE.finditer(hlo_text):
         type_str, kind = m.group(1), m.group(2)
         if "-done(" in m.group(0):
@@ -121,8 +126,12 @@ def account(hlo_text: str, dp: int, mp: int):
         key = (kind, axis)
         d = per.setdefault(key, {"count": 0, "bytes": 0})
         d["count"] += 1
-        d["bytes"] += shape_bytes(type_str)
-    return per
+        nbytes = shape_bytes(type_str)
+        d["bytes"] += nbytes
+        ops.append({"kind": kind, "axis": axis, "bytes": nbytes,
+                    "type": " ".join(type_str.split())[:120]})
+    ops.sort(key=lambda o: -o["bytes"])
+    return per, ops[:12]
 
 
 def build(dp: int, mp: int):
@@ -217,13 +226,14 @@ def main():
               flush=True)
         compiled = build(dp, mp)
         text = compiled.as_text()
-        per = account(text, dp, mp)
+        per, top_ops = account(text, dp, mp)
         rows = {
             f"{kind}/{axis}": dict(v)
             for (kind, axis), v in sorted(per.items())
         }
         total = sum(v["bytes"] for v in per.values())
-        report[conf] = {"collectives": rows, "total_bytes_per_step": total}
+        report[conf] = {"collectives": rows, "total_bytes_per_step": total,
+                        "largest_ops": top_ops}
         print(json.dumps(report[conf], indent=2), flush=True)
     if args.out:
         with open(args.out, "w") as f:
