@@ -381,7 +381,7 @@ def _backend_or_cpu_fallback():
     return alive_platform
 
 
-def main():
+def main(g1_lengths: bool = False):
     platform_note = _backend_or_cpu_fallback()
     import jax
 
@@ -431,7 +431,9 @@ def main():
     batches = []
     for h in range(2):
         sessions = synthetic_hour_sessions(
-            corpus, session_schema, h, 2 * cfg.batch_size, cfg.max_session_length
+            corpus, session_schema, h, 2 * cfg.batch_size,
+            cfg.max_session_length,
+            length_distribution="g1" if g1_lengths else "uniform",
         )
         for b in batches_from_sessions(
             sessions, session_schema, cfg.batch_size, cfg.max_session_length
@@ -581,7 +583,7 @@ def main():
     print(json.dumps(result))
 
 
-def eval_main():
+def eval_main(g1_lengths: bool = False):
     """--eval: eval-hour throughput (sessions/s) through the FULL production
     eval tier at G1 scale — jitted eval_step + streaming metrics (17 classes)
     + all six classical baselines' train/evaluate + cold-start bookkeeping —
@@ -680,7 +682,9 @@ def eval_main():
 
     def hour(h):
         return synthetic_hour_sessions(
-            corpus, session_schema, h, sessions_per_hour, cfg.max_session_length
+            corpus, session_schema, h, sessions_per_hour,
+            cfg.max_session_length,
+            length_distribution="g1" if g1_lengths else "uniform",
         )
 
     # two training hours: compile both programs, fill buffers + baseline state
@@ -735,6 +739,7 @@ def eval_main():
                 "phase_seconds": {k: round(v, 3) for k, v in phases.items()},
                 "sessions": sessions,
                 "benchmarks": len(benchmarks),
+                "length_distribution": "g1" if g1_lengths else "uniform",
             }
         )
     )
@@ -982,14 +987,20 @@ if __name__ == "__main__":
         help="ACR module throughput (CNN classifier + GRU-SDAE at the "
         "reference config, 100k-vocab embeddings) instead of NAR train",
     )
+    parser.add_argument(
+        "--g1_lengths", action="store_true",
+        help="draw session lengths from the real G1 distribution (mean "
+        "~2.9 clicks) instead of the historical uniform 2..20 synthetic "
+        "default; the default stays uniform so BENCH_r* rounds compare",
+    )
     _args = parser.parse_args()
     if _args.scaling:
         scaling_main()
     elif _args.eval:
-        eval_main()
+        eval_main(g1_lengths=_args.g1_lengths)
     elif _args.serve:
         serve_main()
     elif _args.acr:
         acr_main()
     else:
-        main()
+        main(g1_lengths=_args.g1_lengths)

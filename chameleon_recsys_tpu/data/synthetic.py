@@ -359,9 +359,15 @@ def synthetic_hour_sessions(
     max_session_length: int = 20,
     base_epoch: int = 72 * SECONDS_PER_HOUR,
     seed: int = 42,
+    length_distribution: str = "uniform",
 ) -> List[Session]:
     """One hour of sessions; later hours drift popularity so the stream is
-    genuinely non-stationary (exercising recency/novelty features)."""
+    genuinely non-stationary (exercising recency/novelty features).
+
+    ``length_distribution``: 'uniform' draws lengths U(2, max) — the
+    historical synthetic default — while 'g1' draws 2+geometric(0.55)-1
+    capped at max (mean ≈ 2.9 clicks), matching the real G1 session-length
+    shape the bench configs claim to mirror."""
     rng = np.random.RandomState(seed + 1000 * hour_index)
     hour_start = base_epoch + hour_index * SECONDS_PER_HOUR
 
@@ -375,7 +381,11 @@ def synthetic_hour_sessions(
     ctx_specs = session_schema.context_sequence_features()
     sessions = []
     for i in range(num_sessions):
-        n = int(rng.randint(2, max_session_length + 1))
+        if length_distribution == "g1":
+            n = int(min(1 + rng.geometric(0.55), max_session_length))
+            n = max(n, 2)
+        else:
+            n = int(rng.randint(2, max_session_length + 1))
         items = rng.choice(corpus.num_items, size=n, replace=False, p=probs)
         start = hour_start + int(rng.randint(0, SECONDS_PER_HOUR - n * 30))
         ts = start + np.cumsum(rng.randint(5, 30, size=n))
