@@ -359,11 +359,13 @@ class GRU4RecJax:
         momentum: float = 0.0,
         lmbd: float = 0.0,
         seed: int = 42,
+        neg_pool_capacity: int = 20000,
     ):
         self.n_items = n_items
         self.layers = tuple(layers)
         self.loss_name, self.bpreg = parse_loss(loss, bpreg)
         self.n_sample = n_sample
+        self.neg_pool_capacity = int(neg_pool_capacity)
         self.dropout_p_hidden = dropout_p_hidden
         self.rng = jax.random.PRNGKey(seed)
         self.rng, init_rng = jax.random.split(self.rng)
@@ -401,8 +403,12 @@ class GRU4RecJax:
         total = jnp.sum(counts)
         return jnp.sum(losses * counts) / jnp.maximum(total, 1.0)
 
-    def _train_step_fn(self, params, opt_state, items, labels, mask, neg_sample,
-                       dropout_rng):
+    def _train_step_fn(self, params, opt_state, items, labels, mask, pool,
+                       n_valid, sample_rng, dropout_rng):
+        idx = jax.random.randint(
+            sample_rng, (self.n_sample,), 0, jnp.maximum(n_valid, 1)
+        )
+        neg_sample = pool[idx]
         loss, grads = jax.value_and_grad(self._loss_for_batch)(
             params, items, labels, mask, neg_sample, dropout_rng
         )
@@ -419,19 +425,32 @@ class GRU4RecJax:
 
     # -- public API ---------------------------------------------------------
     def fit_batch(self, items: np.ndarray, labels: np.ndarray, buffer_ids: np.ndarray):
-        """One padded [B, T] batch: items = clicks[:-1], labels = clicks[1:]."""
+        """One padded [B, T] batch: items = clicks[:-1], labels = clicks[1:].
+
+        Negative sampling happens INSIDE the jitted step over a
+        fixed-capacity pool: the recent-clicks buffer is a sliding time
+        window whose length changes every batch, and an eager
+        ``jax.random.choice`` over it re-specialized (recompiled) per batch
+        — ~1-3 s/batch through a remote-compile backend.  Padding the pool
+        to ``neg_pool_capacity`` and drawing uniform indices in [0, n_valid)
+        in-graph keeps one compiled program for the whole stream and is the
+        same with-replacement uniform draw over the buffer's entries.
+
+        Returns the LOSS AS A DEVICE SCALAR so a training loop can average
+        an hour's losses with a single host fetch."""
         mask = jnp.asarray(labels != 0)
-        self.rng, k = jax.random.split(self.rng)
         nonzero = buffer_ids[buffer_ids != 0]
         if len(nonzero) == 0:
             nonzero = np.array([1])
-        neg = jax.random.choice(k, jnp.asarray(nonzero), (self.n_sample,))
-        self.rng, drop_rng = jax.random.split(self.rng)
+        nonzero = nonzero[: self.neg_pool_capacity]
+        pool = np.zeros(self.neg_pool_capacity, np.int64)
+        pool[: len(nonzero)] = nonzero
+        self.rng, k, drop_rng = jax.random.split(self.rng, 3)
         self.params, self.opt_state, loss = self._train_step(
             self.params, self.opt_state, jnp.asarray(items), jnp.asarray(labels),
-            mask, neg, drop_rng,
+            mask, jnp.asarray(pool), len(nonzero), k, drop_rng,
         )
-        return float(loss)
+        return loss
 
     def rank_candidates(
         self, items: np.ndarray, labels: np.ndarray, neg_items: np.ndarray

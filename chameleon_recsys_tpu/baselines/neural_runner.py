@@ -112,7 +112,14 @@ class NeuralBaselineRunner:
             losses.append(loss)
             if update_buffer:
                 self._update_buffer(batch)
-        return float(np.mean(losses)) if losses else 0.0
+        # fit_batch may return device scalars (GRU4Rec does, so an hour of
+        # steps pipelines without per-batch host syncs) — average with ONE
+        # fetch at hour end
+        if not losses:
+            return 0.0
+        import jax.numpy as jnp
+
+        return float(jnp.mean(jnp.stack([jnp.asarray(x) for x in losses])))
 
     def evaluate_hour(self, sessions: Sequence[Session]) -> Dict[str, float]:
         streaming = self.create_metrics()
