@@ -217,7 +217,9 @@ class SRGNNJax:
             jnp.asarray(alias), jnp.asarray(mask), jnp.asarray(targets),
             jnp.asarray(neg),
         )
-        return float(loss)
+        # device scalar: lets a training loop pipeline an hour of steps and
+        # fetch once (see NeuralBaselineRunner.train_hour)
+        return loss
 
     def rank_candidates(self, sessions_items: np.ndarray, targets: np.ndarray,
                         neg_items: np.ndarray) -> np.ndarray:
@@ -271,12 +273,21 @@ class SRGNNSessionAdapter:
         rows, cols = np.nonzero(labels)
         if len(rows) == 0:
             return np.zeros((b, t, 1 + k), np.int64)
-        prefixes = np.zeros((len(rows), t), np.int64)
+        # bucket the row count to a multiple of 256: the number of valid
+        # clicks varies every batch, and an exact-shape score program would
+        # recompile per batch (minutes per compile on a remote-compile
+        # backend); padded rows are all-zero prefixes whose scores are
+        # discarded below
+        n_rows = len(rows)
+        cap = max(256, -(-n_rows // 256) * 256)
+        prefixes = np.zeros((cap, t), np.int64)
         for n, (r, c) in enumerate(zip(rows, cols)):
             prefixes[n, : c + 1] = items[r, : c + 1]
-        targets = labels[rows, cols]
-        negs = neg_items[rows, cols]
+        targets = np.zeros(cap, np.int64)
+        targets[:n_rows] = labels[rows, cols]
+        negs = np.zeros((cap, k), np.int64)
+        negs[:n_rows] = neg_items[rows, cols]
         ranked_flat = self.model.rank_candidates(prefixes, targets, negs)
         ranked = np.zeros((b, t, 1 + k), np.int64)
-        ranked[rows, cols] = ranked_flat
+        ranked[rows, cols] = ranked_flat[:n_rows]
         return ranked
