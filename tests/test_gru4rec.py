@@ -253,3 +253,45 @@ def test_optimizer_momentum_and_l2():
         v = mom * v - lr * (g + lmbd * p_oracle)
         p_oracle = p_oracle + v
     np.testing.assert_allclose(np.asarray(p), p_oracle, rtol=1e-5, atol=1e-6)
+
+
+def test_fit_batch_single_program_across_buffer_sizes():
+    """The recent-clicks buffer is a sliding window whose length changes
+    every batch; fit_batch must NOT re-specialize its compiled step per
+    buffer length (it did, via an eager jax.random.choice — one remote
+    recompile per batch over a whole stream)."""
+    from chameleon_recsys_tpu.baselines.gru4rec import GRU4RecJax
+
+    model = GRU4RecJax(50, layers=(8,), n_sample=4, neg_pool_capacity=64)
+    rng = np.random.RandomState(0)
+    items = rng.randint(1, 50, size=(4, 5))
+    labels = rng.randint(1, 50, size=(4, 5))
+    for buf_len in (3, 17, 40, 64, 200):  # incl. > capacity (truncated)
+        loss = model.fit_batch(items, labels, np.arange(1, 1 + buf_len))
+        assert np.isfinite(float(loss))
+    assert model._train_step._cache_size() == 1
+
+
+def test_fit_batch_negatives_come_from_buffer():
+    """In-graph sampling must draw only valid (nonzero, in-buffer) ids:
+    train on a buffer of a single id and check the loss equals the
+    fixed-negative oracle path's semantics (all negatives == that id)."""
+    from chameleon_recsys_tpu.baselines.gru4rec import GRU4RecJax
+
+    model = GRU4RecJax(50, layers=(8,), n_sample=6, neg_pool_capacity=16)
+    rng = np.random.RandomState(1)
+    items = rng.randint(1, 50, size=(2, 4))
+    labels = rng.randint(1, 50, size=(2, 4))
+    buffer_ids = np.array([7, 0, 0, 0])  # one valid entry
+    loss_pool = model.fit_batch(items, labels, buffer_ids)
+    # oracle: same step with the negatives forced to id 7
+    model2 = GRU4RecJax(50, layers=(8,), n_sample=6, neg_pool_capacity=16)
+    neg = jnp.full((6,), 7, jnp.int64)
+    mask = jnp.asarray(labels != 0)
+    import jax
+
+    loss_fixed = model2._loss_for_batch(
+        model2.params, jnp.asarray(items), jnp.asarray(labels), mask, neg,
+        None,
+    )
+    assert float(loss_pool) == pytest.approx(float(loss_fixed), rel=1e-5)
