@@ -176,6 +176,9 @@ class NeuralBaselineRunner:
         return row
 
     def recommender_name(self) -> str:
+        explicit = getattr(self.model, "recommender_name", None)
+        if isinstance(explicit, str):
+            return explicit
         return type(self.model).__name__.lower().replace("jax", "")
 
     def run(

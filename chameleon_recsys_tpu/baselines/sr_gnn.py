@@ -247,6 +247,8 @@ class SRGNNSessionAdapter:
     Training uses full sessions with the final label as target; per-click
     ranking builds one graph per session prefix."""
 
+    recommender_name = "sr-gnn"  # CSV column suffix (reference's naming)
+
     def __init__(self, model: SRGNNJax, n_sample: int = 200, seed: int = 0):
         self.model = model
         self.n_sample = n_sample
