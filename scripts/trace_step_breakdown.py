@@ -104,6 +104,12 @@ def main():
         (sum(v) / args.steps for k, v in durs.items() if k.startswith("jit")),
         default=0.0,
     )
+    print("# jit-level rows (ms/step, count):")
+    for k, v in sorted(durs.items(), key=lambda kv: -sum(kv[1])):
+        if k.startswith("jit"):
+            print(f"  {sum(v)/args.steps:8.3f}  n={len(v):<4d} {k[:100]}")
+    busy = sum(per_op.values())
+    print(f"# device busy (non-jit rows, may nest): {busy:.3f} ms/step")
 
     BUCKETS = [
         ("scorer_bwd_kernel", r"cand_scorer.*(bwd|backward|vjp)|scorer_bwd"),
