@@ -17,9 +17,15 @@ Step 3's shuffle→unique→take-K is reproduced exactly by the "min-random-key
 per distinct value" construction: give every occurrence an i.i.d. uniform
 key; a value with m occurrences survives with key = min of m uniforms, which
 is precisely the distribution of its first position in a uniform shuffle.
-The per-value min is computed with a segmented cumulative-min scan over a
-value-sorted layout (one session-level sort, then O(log NC) vector steps per
-click) — no scatter, no dynamic shapes, VPU-friendly.
+Because session exclusion is by VALUE, validity is constant within a
+segment of the value-sorted pool layout, so the per-value min never mixes
+valid and invalid occurrences — and the joint *ranking* of the segment
+mins is distribution-identical to independent Exp(m) draws (the fixed
+strictly-monotone map x ↦ −log(1−x) sends a min of m i.i.d. uniforms to an
+Exp(m) variable).  The sampler therefore draws ONE key −log1p(−U)/m at
+each segment end instead of scanning per-occurrence keys: no associative
+scan on the per-click hot path, one batch-level cummax to get segment
+lengths, then an elementwise key + top-k per click.
 
 Known reference quirk preserved: article id 0 is never sampled because
 padding shares value 0 (nar_model.py:253).
@@ -35,8 +41,9 @@ from jax import lax
 _INF = jnp.float32(jnp.inf)
 
 # Recall target for the approx_topk sampler path.  Marginal selection
-# probabilities stay correct at any recall (the selection keys are i.i.d. —
-# see sample_negatives_pooled); the approximation's bin structure only
+# probabilities stay correct at any recall (the selection keys are random
+# draws whose joint ranking matches the shuffle construction — see the
+# module docstring); the approximation's bin structure only
 # introduces a mild negative correlation between candidates whose positions
 # share a reduction bin (positions are value-sorted, so id-neighbors).
 # Lower values shrink lax.approx_max_k's bin-reduction and run faster
@@ -56,21 +63,6 @@ def sample_from_buffer(rng: jax.Array, buffer_ids: jax.Array, sample_size: int) 
     neg_keys, idx = lax.top_k(-keys, sample_size)
     picked = buffer_ids[idx]
     return jnp.where(jnp.isfinite(neg_keys), picked, 0)
-
-
-def _segmented_cummin(values: jax.Array, reset: jax.Array) -> jax.Array:
-    """Left-to-right cumulative min that restarts where ``reset`` is True.
-
-    Implemented with an associative scan (log-depth, fully vectorized).
-    """
-
-    def combine(left, right):
-        f1, m1 = left
-        f2, m2 = right
-        return f1 | f2, jnp.where(f2, m2, jnp.minimum(m1, m2))
-
-    _, out = lax.associative_scan(combine, (reset, values), axis=-1)
-    return out
 
 
 def _session_sort(candidates: jax.Array):
@@ -159,7 +151,7 @@ def sample_negatives_pooled(
     u = jax.random.uniform(rng_u, (b, l, nc))
 
     per_click_idx = _make_per_click_idx(
-        perm, new_seg, seg_end, nc, num_negatives, approx_topk
+        new_seg, seg_end, nc, num_negatives, approx_topk
     )
 
     def per_session(u_s, valid_sorted_s, clicks_s):
@@ -174,17 +166,24 @@ def sample_negatives_pooled(
     return pool_ext, neg_idx, neg_ids
 
 
-def _make_per_click_idx(perm, new_seg, seg_end, nc, num_negatives, approx_topk):
+def _make_per_click_idx(new_seg, seg_end, nc, num_negatives, approx_topk):
+    # Segment lengths from one batch-level cummax (new_seg marks segment
+    # starts in the value-sorted layout; new_seg[0] is always True).
+    pos = jnp.arange(nc, dtype=jnp.int32)
+    seg_start = lax.cummax(jnp.where(new_seg, pos, 0))
+    seg_len = (pos - seg_start + 1).astype(jnp.float32)
+
     def per_click_idx(u_c, valid_sorted_s):
-        # NOTE: u_c[perm] is distributionally redundant (i.i.d. keys are
-        # permutation-invariant) but deliberately kept: removing it changes
-        # XLA's layout choice for the associative-scan chain below and
-        # de-fuses its log-depth slice/pad levels into ~4 ms of standalone
-        # ops at the G1 config (profiled) — the gather itself is fused and
-        # ~free.
-        u_sorted = jnp.where(valid_sorted_s, u_c[perm], _INF)
-        run_min = _segmented_cummin(u_sorted, new_seg)
-        key = jnp.where(seg_end & valid_sorted_s, run_min, _INF)
+        # One Exp(m)-ranked key per segment end (see module docstring):
+        # exactly the shuffle→unique→take-K distribution, with validity
+        # constant per segment because session exclusion is by value.
+        # 1−U ∈ (0, 1] so log1p(−U) is finite; key 0 ties (U = 0) are
+        # measure-~2⁻²³ and broken deterministically by top_k.
+        key = jnp.where(
+            seg_end & valid_sorted_s,
+            -jnp.log1p(-u_c) / seg_len,
+            _INF,
+        )
         if approx_topk:
             # TPU-binned approximate top-k instead of a full sort: since the
             # keys are i.i.d. uniforms, a <100%-recall selection is still a
@@ -257,7 +256,7 @@ def sample_negatives_pooled_rows(
         valid_rows = valid_sorted[row_session]  # [M, NC]
 
     per_click_idx = _make_per_click_idx(
-        perm, new_seg, seg_end, nc, num_negatives, approx_topk
+        new_seg, seg_end, nc, num_negatives, approx_topk
     )
 
     def per_row(u_c, valid_sorted_s, click_id):

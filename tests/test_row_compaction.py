@@ -155,8 +155,10 @@ def test_compacted_gradients_match_full(monkeypatch):
     g_comp = jax.grad(loss_compact)(state.params)
 
     def check(path, a, b_):
+        # atol is a float32 noise floor: near-zero leaves (|g| ~ 1e-6) can
+        # flip sign under the two iteration spaces' reduction orders.
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=1e-6,
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-6,
             err_msg=jax.tree_util.keystr(path),
         )
 

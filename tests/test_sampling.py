@@ -138,7 +138,7 @@ def test_min_key_dedup_matches_shuffle_unique_distribution():
 
 def test_approx_topk_keeps_sampler_invariants():
     """The bench config's `approx_negative_topk` path (lax.approx_max_k
-    instead of the full sort, ops/sampling.py:134-144) must satisfy the
+    instead of the full sort, ops/sampling.py::_make_per_click_idx) must satisfy the
     same exclusion / dedup / padding contract as the exact path."""
     from chameleon_recsys_tpu.ops.sampling import sample_negatives_pooled
 
@@ -170,3 +170,36 @@ def test_approx_topk_keeps_sampler_invariants():
             # candidates abound here: the approximate selection must still
             # fill the full complement
             assert len(nonzero) == 8
+
+
+def test_first_pick_probability_proportional_to_duplicates():
+    """Exact shuffle law: with K=1, P(picked = v) = dup_count(v) / total.
+
+    Falsifies the segment-length weighting of the exponential-key scheme
+    (ops/sampling.py): a wrong segment length or a key mixing valid and
+    invalid occurrences shifts these ratios far beyond the test band.
+    """
+    clicked = jnp.array([[900, 901, 0]], jnp.int32)
+    # pool duplicates: item 1 ×4, item 2 ×2, item 3 ×1, item 4 ×1 (total 8)
+    buffer = jnp.array([1, 1, 1, 1, 2, 2, 3, 4] + [0] * 8, jnp.int32)
+    expected = {1: 4 / 8, 2: 2 / 8, 3: 1 / 8, 4: 1 / 8}
+    counts = {1: 0, 2: 0, 3: 0, 4: 0}
+    n_trials = 1500
+    for seed in range(n_trials):
+        neg = int(
+            np.asarray(
+                sample_negatives(
+                    jax.random.PRNGKey(77_000 + seed),
+                    clicked,
+                    buffer,
+                    num_negatives=1,
+                    buffer_sample_size=16,
+                )
+            )[0, 0, 0]
+        )
+        counts[neg] += 1
+    for v, p in expected.items():
+        freq = counts[v] / n_trials
+        # 4-sigma band on a Bernoulli(p) mean over n_trials
+        band = 4 * (p * (1 - p) / n_trials) ** 0.5
+        assert abs(freq - p) < band + 0.01, (v, freq, p)
