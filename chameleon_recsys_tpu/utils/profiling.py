@@ -95,6 +95,48 @@ def device_op_durations(trace_dir: str) -> Dict[str, List[float]]:
     return dict(durs)
 
 
+def device_op_durations_by_track(trace_dir: str) -> Dict[str, Dict[str, float]]:
+    """{device track name: {event name: total ms}} over a trace dir.
+
+    A TPU device pid carries several PARALLEL tracks (tids) — "XLA Modules"
+    (one row per program execution), "Steps" (one row per step marker),
+    "TensorFlow Name Scope"/"TensorFlow Ops" (framework annotation spans)
+    and "XLA Ops" (the mutually-exclusive leaf HLO ops).  Summing across
+    tracks double-counts; per-step decompositions must read the
+    "XLA Ops" track, whose rows tile device-busy time exactly.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+
+    paths = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+    if not paths:
+        return {}
+    with gzip.open(sorted(paths)[-1]) as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids = {
+        e["pid"]: e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    device_pids = {p for p, name in pids.items() if name.startswith("/device:")}
+    tid_names = {
+        (e["pid"], e.get("tid")): e.get("args", {}).get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "thread_name"
+    }
+    out: Dict[str, Dict[str, float]] = collections.defaultdict(
+        lambda: collections.defaultdict(float)
+    )
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            track = tid_names.get((e["pid"], e.get("tid")), str(e.get("tid")))
+            out[track][str(e.get("name", ""))] += float(e.get("dur", 0.0)) / 1e3
+    return {k: dict(v) for k, v in out.items()}
+
+
 def device_op_totals(trace_dir: str) -> Dict[str, float]:
     """{device event name: total ms} over a trace dir
     (see device_op_durations for the methodology)."""

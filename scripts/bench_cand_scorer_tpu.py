@@ -31,6 +31,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 from chameleon_recsys_tpu.ops.pallas import cand_scorer as cs
 
 BT, K, C = 256 * 19, 50, 1024
+if "--bt" in sys.argv:
+    BT = int(sys.argv[sys.argv.index("--bt") + 1])
 M1, M2, M3 = 128, 64, 32
 DTYPE = jnp.bfloat16
 

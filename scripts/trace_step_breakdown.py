@@ -24,6 +24,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--keep_trace", default="", help="save trace to this dir")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +48,10 @@ def main():
         round_up_to_scorer_tile,
         valid_click_mask,
     )
-    from chameleon_recsys_tpu.utils.profiling import device_op_durations
+    from chameleon_recsys_tpu.utils.profiling import (
+        device_op_durations,
+        device_op_durations_by_track,
+    )
 
     cfg, session_schema, article_schema = bench._g1_setup()
     corpus = make_synthetic_corpus(article_schema, ace_dim=250)
@@ -82,7 +86,10 @@ def main():
         state, metrics = programs.train_step(state, b, ace, metadata)
     np.asarray(metrics["loss"])
 
-    with tempfile.TemporaryDirectory() as td:
+    import contextlib
+    td_ctx = (contextlib.nullcontext(args.keep_trace) if args.keep_trace
+              else tempfile.TemporaryDirectory())
+    with td_ctx as td:
         jax.profiler.start_trace(td)
         try:
             for i in range(args.steps):
@@ -93,31 +100,32 @@ def main():
         finally:
             jax.profiler.stop_trace()
         durs = device_op_durations(td)
+        tracks = device_op_durations_by_track(td)
 
-    # drop the top-level program event (it contains everything)
-    per_op = {
-        k: sum(v) / args.steps
-        for k, v in durs.items()
-        if not k.startswith("jit") or "fusion" in k
-    }
     total_prog = max(
         (sum(v) / args.steps for k, v in durs.items() if k.startswith("jit")),
         default=0.0,
     )
-    print("# jit-level rows (ms/step, count):")
-    for k, v in sorted(durs.items(), key=lambda kv: -sum(kv[1])):
-        if k.startswith("jit"):
-            print(f"  {sum(v)/args.steps:8.3f}  n={len(v):<4d} {k[:100]}")
+    print("# track totals (ms/step):")
+    for tname, ops in sorted(tracks.items(), key=lambda kv: -sum(kv[1].values())):
+        print(f"  {sum(ops.values())/args.steps:8.3f}  {tname}")
+    # The "XLA Ops" track holds the mutually-exclusive leaf HLO ops — the
+    # only rows that tile device-busy time without double counting (other
+    # tracks are parallel annotation spans: module row, step row, scopes).
+    ops_track = next((v for k, v in tracks.items() if "XLA Ops" in k), None)
+    if ops_track is None:
+        ops_track = max(tracks.values(), key=lambda v: len(v))
+    per_op = {k: v / args.steps for k, v in ops_track.items()}
     busy = sum(per_op.values())
-    print(f"# device busy (non-jit rows, may nest): {busy:.3f} ms/step")
+    print(f"# device busy (XLA Ops leaf rows): {busy:.3f} ms/step")
 
     BUCKETS = [
-        ("scorer_bwd_kernel", r"cand_scorer.*(bwd|backward|vjp)|scorer_bwd"),
-        ("scorer_fwd_kernel", r"cand_scorer|scorer_fwd"),
+        ("scorer_bwd_kernel", r"cand_scorer.*(bwd|backward|vjp)|scorer_bwd|transpose_jvp_NARModel"),
+        ("scorer_fwd_kernel", r"cand_scorer|scorer_fwd|^jvp_NARModel"),
         ("rnn_kernel", r"ugrnn"),
         ("sort_topk", r"sort|top-k|approx|partial-reduce"),
         ("scatter_gather", r"scatter|gather|dynamic-slice|dynamic-update"),
-        ("copies", r"^copy|bitcast|transpose|reshape"),
+        ("copies", r"^copy|^bitcast|^transpose\.|^reshape"),
         ("convolutions_matmuls", r"convolution|dot|matmul"),
         ("reductions", r"reduce"),
         ("fusions_other", r"fusion|loop"),
