@@ -387,11 +387,11 @@ def main(g1_lengths: bool = False):
 
     # persistent compile cache: repeat runs skip the multi-minute XLA compile
     # (harmless no-op if the backend can't serialize executables)
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from chameleon_recsys_tpu.utils.jax_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     import jax.numpy as jnp
 
@@ -611,11 +611,11 @@ def eval_main(g1_lengths: bool = False):
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from chameleon_recsys_tpu.utils.jax_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     from chameleon_recsys_tpu.baselines.content_based import (
         ContentBasedRecommender,
@@ -767,11 +767,11 @@ def acr_main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from chameleon_recsys_tpu.utils.jax_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     from chameleon_recsys_tpu.acr.trainer import ACRTrainer
     from chameleon_recsys_tpu.config import ACRConfig
@@ -882,11 +882,11 @@ def serve_main():
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from chameleon_recsys_tpu.utils.jax_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     import jax.numpy as jnp
 

@@ -94,6 +94,10 @@ def make_pseudo_g1_articles(spec: PseudoG1Spec) -> PseudoG1Articles:
     centroids = rng.randn(spec.num_categories + 1, spec.ace_dim).astype(np.float32)
     noise = rng.randn(n, spec.ace_dim).astype(np.float32)
     noise /= np.maximum(np.linalg.norm(noise, axis=1, keepdims=True), 1e-9)
+    # Effective mix is 0.8·centroid + 0.35·noise (pre-normalization); the
+    # two adds of the SAME unit-noise draw are kept as-is so the generated
+    # stream stays bit-identical to the published campaign runs
+    # (RESULTS.md round 4 — g1data/full_run*).
     ace = 0.8 * centroids[categories] + 0.2 * noise
     ace += 0.15 * noise
     ace /= np.maximum(np.linalg.norm(ace, axis=1, keepdims=True), 1e-9)
@@ -230,14 +234,16 @@ _COLUMNS = [
 
 
 def write_hour_csv(spec: PseudoG1Spec, arts: PseudoG1Articles,
-                   hour_index: int, path: str) -> int:
+                   hour_index: int, path: str) -> tuple:
+    """Returns (n_sessions, n_clicks) for the hour."""
     cols = generate_hour_clicks(spec, arts, hour_index)
     n = len(cols["session_id"])
+    n_sessions = int(np.unique(cols["session_id"]).size)
     mat = np.stack([cols[c].astype(np.int64) for c in _COLUMNS], axis=1)
     with open(path, "w", newline="") as f:
         f.write(",".join(_COLUMNS) + "\n")
         np.savetxt(f, mat, fmt="%d", delimiter=",")
-    return n
+    return n_sessions, n
 
 
 def write_bundle(spec: PseudoG1Spec, out_dir: str, num_workers: int = 1,
@@ -273,10 +279,14 @@ def write_bundle(spec: PseudoG1Spec, out_dir: str, num_workers: int = 1,
                 for h in range(spec.hours)
             }
             for fut in futs:
-                totals["clicks"] += fut.result()
+                ns, nc = fut.result()
+                totals["sessions"] += ns
+                totals["clicks"] += nc
     else:
         for h in range(spec.hours):
-            totals["clicks"] += write_hour_csv(spec, arts, h, path_for(h))
+            ns, nc = write_hour_csv(spec, arts, h, path_for(h))
+            totals["sessions"] += ns
+            totals["clicks"] += nc
             if verbose and h % 50 == 0:
                 print(f"wrote hour {h}")
     return totals

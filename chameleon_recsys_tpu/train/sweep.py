@@ -159,13 +159,11 @@ def run_sweep(
         )
         harness = harness_factory(cfg, trial_run_cfg)
         rows = harness.run(hour_source, hours=hours)
-        value = (
-            float(
-                sum(r.get(objective, 0.0) for r in rows) / max(len(rows), 1)
-            )
-            if rows
-            else float("-inf")
-        )
+        # Failed trials (no eval rows / objective column absent) must sort
+        # LAST under either goal — the sentinel is goal-aware.
+        worst = float("-inf") if goal.upper() == "MAXIMIZE" else float("inf")
+        vals = [r[objective] for r in rows if objective in r]
+        value = float(sum(vals) / len(vals)) if vals else worst
         log.info("trial %d %s -> %s=%.5f", trial_id, overrides, objective, value)
         return TrialResult(trial_id, overrides, value, rows[-1] if rows else {})
 

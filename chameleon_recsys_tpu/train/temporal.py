@@ -369,8 +369,13 @@ class TemporalHarness:
             self.train_meter.start()
         self.train_meter.stop(0)
         self.hours_trained += 1
-        if self.scalar_writer is not None:
-            for step, m in pending_scalars:
+        if self.scalar_writer is not None and pending_scalars:
+            # One batched transfer for the whole hour's scalars: float(v)
+            # per metric per step is a blocking fetch each on a
+            # remote-dispatch backend (same rationale as
+            # _refresh_state_view's batched device_get).
+            fetched = jax.device_get([m for _, m in pending_scalars])
+            for (step, _), m in zip(pending_scalars, fetched):
                 self.scalar_writer.write(
                     step, {k: float(v) for k, v in m.items()}
                 )

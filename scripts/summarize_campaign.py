@@ -41,6 +41,11 @@ def main():
     short = {"chameleon": "CHAMELEON", "pop_recent": "RP", "coocurrent": "CO",
              "item_knn": "IKNN", "v-sknn": "V-SkNN", "cb": "CB", "sr": "SR"}
 
+    if not rows:
+        raise SystemExit(
+            "eval CSV has no rows yet (no eval hour completed) - nothing "
+            "to summarize"
+        )
     print("### Accuracy trajectory (HR@10 / MRR@10 per eval hour)\n")
     header = ["eval", "sessions"] + [short[r] for r in recs] + list(extras)
     print("| " + " | ".join(header) + " |")

@@ -30,11 +30,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/chameleon_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    from chameleon_recsys_tpu.utils.jax_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
 
     import bench
     from chameleon_recsys_tpu.data.collate import batches_from_sessions

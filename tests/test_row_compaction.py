@@ -52,7 +52,6 @@ def _valid_partition(batch):
 
 @pytest.mark.parametrize("fused", [False, True])
 @pytest.mark.slow
-@pytest.mark.slow
 def test_compacted_loss_matches_full_given_same_negatives(fused):
     """scoring_rows with the SAME per-row negatives as the full grid must
     produce the identical masked-mean loss (the compaction is pure
@@ -110,7 +109,6 @@ def test_compacted_loss_matches_full_given_same_negatives(fused):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_compacted_gradients_match_full(monkeypatch):
     """Same negatives → same gradients (the compaction changes only the
     iteration space, not the math)."""
@@ -166,7 +164,6 @@ def test_compacted_gradients_match_full(monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_train_step_with_capacity_runs_and_counts_drops():
     cfg = tiny_nar_config()
     art, sess, ace, metadata, batch = _setup(cfg)
@@ -216,7 +213,6 @@ def test_rows_sampler_excludes_session_items():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_harness_with_capacity_stream_state_identical():
     """Compaction changes WHICH rows are scored, never the stream-state
     update (which consumes the raw batch clicks) — so integer stream state
@@ -262,7 +258,6 @@ def test_harness_with_capacity_stream_state_identical():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_grouped_compaction_matches_flat_selection():
     """groups>1 partitions per session group: each group's valid rows come
     first within that group.  Verify the selected rows equal the per-group
@@ -298,7 +293,6 @@ def test_grouped_compaction_matches_flat_selection():
     assert row_mask.sum() == per_group_valid.clip(max=cap // groups).sum()
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_grouped_compaction_on_mesh():
     """capacity + groups=data_parallelism over an 8-device CPU mesh: the
@@ -348,7 +342,6 @@ def test_grouped_compaction_on_mesh():
         )
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_compaction_with_dropout_dense_path():
     """keep_prob < 1 disables the pooled path (feature dropout must be

@@ -181,3 +181,41 @@ def test_shipped_mlengine_spec_parses():
     fields = {f.name for f in dc.fields(NARConfig)}
     assert set(spec.param_grid) <= fields
     assert spec.max_trials == 30 and spec.max_parallel == 2
+
+
+def test_failed_trials_sort_last_under_minimize(tmp_path):
+    """A trial with no eval rows (or a missing objective column) must rank
+    LAST under goal=MINIMIZE — the sentinel is goal-aware (a float('-inf')
+    sentinel would rank failures as the best minimization results)."""
+    cfg = tiny_nar_config(batch_size=8, max_session_length=6)
+    run_cfg = RunConfig(model_dir=str(tmp_path), training_hours_for_each_eval=1)
+
+    class StubHarness:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def run(self, hour_source, hours):
+            return self._rows
+
+    outcomes = {
+        8: [{"avg_ce_loss": 1.5}, {"avg_ce_loss": 2.5}],  # healthy: mean 2.0
+        16: [],                                           # died before eval
+        32: [{"other_metric": 0.0}],                      # objective absent
+    }
+
+    def harness_factory(trial_cfg, trial_run_cfg):
+        return StubHarness(outcomes[trial_cfg.rnn_units])
+
+    results = run_sweep(
+        cfg,
+        run_cfg,
+        {"rnn_units": [8, 16, 32]},
+        harness_factory,
+        lambda h: [],
+        hours=range(1),
+        objective="avg_ce_loss",
+        goal="MINIMIZE",
+    )
+    assert results[0].overrides == {"rnn_units": 8}
+    assert results[0].objective == 2.0
+    assert all(r.objective == float("inf") for r in results[1:])
