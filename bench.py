@@ -745,7 +745,7 @@ def eval_main(g1_lengths: bool = False):
     )
 
 
-def acr_main():
+def acr_main(batch_size: int = 64):
     """--acr: ACR module training/inference throughput on the chip.
 
     The reference never measured the ACR module either; its configs are
@@ -777,7 +777,7 @@ def acr_main():
     from chameleon_recsys_tpu.config import ACRConfig
     from chameleon_recsys_tpu.models.acr import ACRLabelSpec
 
-    VOCAB, DIM, LEN, N_CLASSES, BS = 100_000, 300, 300, 461, 64
+    VOCAB, DIM, LEN, N_CLASSES, BS = 100_000, 300, 300, 461, batch_size
     rng = np.random.RandomState(0)
     word_emb = (rng.randn(VOCAB, DIM) * 0.1).astype(np.float32)
 
@@ -797,6 +797,7 @@ def acr_main():
     }
     for task, extractor, key in (
         ("metadata_classification", "CNN", "cnn_classifier"),
+        ("metadata_classification", "GRU", "gru_classifier"),
         ("autoencoder", "GRU", "gru_sdae"),
     ):
         cfg = ACRConfig(
@@ -836,7 +837,7 @@ def acr_main():
         step_s = _traced_step_seconds(run_train, n_steps)
         result[f"{key}_step_ms"] = round(step_s * 1e3, 3)
         result[f"{key}_articles_per_sec"] = round(BS / step_s, 1)
-        if task == "metadata_classification":
+        if key == "cnn_classifier":
             ace = trainer._predict_ace(params, jb)
             jax.block_until_ready(ace)
 
@@ -988,6 +989,11 @@ if __name__ == "__main__":
         "reference config, 100k-vocab embeddings) instead of NAR train",
     )
     parser.add_argument(
+        "--acr_batch", type=int, default=64,
+        help="batch size for --acr (reference local config is 8-64; TPU "
+        "amortizes the SDAE's 600-step recurrence with bigger batches)",
+    )
+    parser.add_argument(
         "--g1_lengths", action="store_true",
         help="draw session lengths from the real G1 distribution (mean "
         "~2.9 clicks) instead of the historical uniform 2..20 synthetic "
@@ -1001,6 +1007,6 @@ if __name__ == "__main__":
     elif _args.serve:
         serve_main()
     elif _args.acr:
-        acr_main()
+        acr_main(batch_size=_args.acr_batch)
     else:
         main(g1_lengths=_args.g1_lengths)
