@@ -234,17 +234,20 @@ class TemporalHarness:
             self._state_view.get_recent_clicks_buffer(),
         )
 
-    def _refresh_state_view(self):
+    def _refresh_state_view(self, arrays=None):
         # one device_get batches the three device->host copies (they start
         # async and overlap); three serial np.asarray calls each paid a
-        # full dispatch round-trip
-        buf, pop_norm, pop = jax.device_get(
-            (
+        # full dispatch round-trip.  ``arrays`` overrides the source with a
+        # per-batch capture — the pipelined eval loop dispatches the next
+        # device step before host-processing this batch, so by then
+        # self.state.stream is already one step ahead.
+        if arrays is None:
+            arrays = (
                 self.state.stream.buffer_ids,
                 self.state.stream.recent_pop_norm,
                 self.state.stream.global_pop,
             )
-        )
+        buf, pop_norm, pop = jax.device_get(arrays)
         self._state_view.refresh(buf, pop_norm, pop)
 
     def init_from_batch(self, example_batch: Dict[str, np.ndarray]):
@@ -402,10 +405,11 @@ class TemporalHarness:
         nonzero.discard(0)
         self.host_state.update_items_first_click_step(np.array(sorted(nonzero)))
 
-    def _train_host_side(self, np_batch, force_refresh: bool = False):
+    def _train_host_side(self, np_batch, force_refresh: bool = False,
+                         refresh_arrays=None):
         if not self.bench_classifiers and not self.eval_cold_start:
             if force_refresh:
-                self._refresh_state_view()
+                self._refresh_state_view(refresh_arrays)
             return
         clicked = np_batch["item_clicked"]
         all_clicked = np.concatenate(
@@ -413,7 +417,7 @@ class TemporalHarness:
         )
         self.host_state.update_items_coocurrences(all_clicked)
         if force_refresh:
-            self._refresh_state_view()
+            self._refresh_state_view(refresh_arrays)
         # else: train hours — baselines' train() only touches host-side
         # dicts, and every eval consumer refreshes the view first
         # (evaluate_hour pre-loop, checkpoint restore), so the
@@ -468,12 +472,59 @@ class TemporalHarness:
         # "state before the current batch" (before_run semantics,
         # nar_model.py:1434-1470) without an extra device→host sync of the
         # three [num_items] state arrays per eval batch.
-        for np_batch in self._batches(sessions):
-            t0 = time.perf_counter()
+        #
+        # The loop is a one-step-lookahead pipeline: batch i+1's device step
+        # (and host→device batch transfer) is DISPATCHED before batch i's
+        # fetches are blocked on, so the device computes ahead of the host
+        # metric/benchmark tiers (JAX async dispatch chains the state
+        # dependency on-device).  Host processing stays strictly in batch
+        # order, so every value — metrics, view contents, benchmark state —
+        # is identical to the serial loop's.  The three view arrays are
+        # captured per batch (cheap device copies) because the NEXT step
+        # donates self.state.stream's buffers.
+        def _dispatch(np_batch):
             batch = self._put_batch(np_batch)
             self.state, dev_metrics, fetches = self._eval_step(
                 self.state, batch, self.ace_matrix, self.metadata
             )
+            st = self.state.stream
+            view_refs = (
+                st.buffer_ids.copy(),
+                st.recent_pop_norm.copy(),
+                st.global_pop.copy(),
+            )
+            # Start the device→host copies NOW: the transfer of this batch's
+            # fetches then overlaps its device step and the previous batch's
+            # host tiers, instead of serializing inside the blocking
+            # device_get (on a remote-dispatch backend the transfer IS the
+            # bulk of the eval "device" phase).
+            for arr in jax.tree_util.tree_leaves(
+                (dev_metrics, fetches, view_refs)
+            ):
+                try:
+                    arr.copy_to_host_async()
+                except Exception:
+                    pass  # non-addressable multi-host shard / CPU backend
+            return np_batch, dev_metrics, fetches, view_refs
+
+        batch_iter = iter(self._batches(sessions))
+        pending = None
+        while True:
+            np_next = next(batch_iter, None)
+            if np_next is not None:
+                t0 = time.perf_counter()
+                current = _dispatch(np_next)
+                phases["device"] += time.perf_counter() - t0
+            else:
+                current = None
+            if pending is None:
+                if current is None:
+                    break
+                pending = current
+                continue
+            np_batch, dev_metrics, fetches, view_refs = pending
+
+            t0 = time.perf_counter()
             hit_sum += float(dev_metrics["hit_sum"])
             rr_sum += float(dev_metrics["rr_sum"])
             label_count += float(dev_metrics["label_count"])
@@ -528,10 +579,18 @@ class TemporalHarness:
                 self._update_cold_start(np_batch, labels, neg_items, preds)
                 phases["cold_start"] += time.perf_counter() - t0
             # force_refresh: the eval metric tier needs the view advanced to
-            # this batch's post-step state even when no benchmarks run
+            # this batch's post-step state even when no benchmarks run.
+            # refresh_arrays: self.state.stream is already one device step
+            # ahead (pipeline) — the view must see THIS batch's post-step
+            # state, captured at dispatch time.
             t0 = time.perf_counter()
-            self._train_host_side(np_batch, force_refresh=True)
+            self._train_host_side(
+                np_batch, force_refresh=True, refresh_arrays=view_refs
+            )
             phases["host_state"] += time.perf_counter() - t0
+            pending = current
+            if pending is None:
+                break
         self.last_eval_phase_seconds = phases
 
         row: Dict[str, float] = {
