@@ -67,7 +67,6 @@ def raw(tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_adressa_chain(raw, tmp_path):
     from chameleon_recsys_tpu.cli import (
         acr_preprocess_adressa,

@@ -85,7 +85,6 @@ def raw_data(tmp_path_factory):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_full_cli_chain(raw_data, tmp_path):
     from chameleon_recsys_tpu.cli import (
         acr_preprocess_gcom,
