@@ -92,7 +92,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
 
     with open(args.acr_module_resources_path, "rb") as f:
-        _, metadata_raw, ace = pickle.load(f)
+        acr_label_encoders, metadata_raw, ace = pickle.load(f)
     norms = np.linalg.norm(ace, axis=1, keepdims=True)
     ace = np.divide(ace, norms, out=np.zeros_like(ace), where=norms > 0)
     ace = (ace * args.content_embedding_scale_factor).astype(np.float32)
@@ -113,8 +113,19 @@ def main(argv=None):
         filter_session_schema,
     )
 
+    # Article-feature cardinalities come from the ACR label encoders (the
+    # reference loads the same pickle for them, nar_trainer_adressa.py
+    # :453-470): the NAR preprocessing resources only cover CONTEXT
+    # features, and an undersized cardinality makes flax's Embed
+    # (jnp.take mode="fill") return NaN rows for out-of-range ids.
+    if isinstance(acr_label_encoders, dict):
+        for name, enc in acr_label_encoders.items():
+            try:
+                cardinalities.setdefault(name, len(enc))
+            except TypeError:
+                pass
     article_schema = filter_article_schema(
-        adressa_article_schema(num_items=num_items),
+        adressa_article_schema(num_items=num_items, cardinalities=cardinalities),
         args.enabled_articles_input_features_groups,
         groups_map=ADRESSA_ARTICLE_FEATURE_GROUPS,
     )

@@ -134,14 +134,24 @@ def test_adressa_chain(raw, tmp_path):
     num_items = resources["cardinalities"]["item_clicked"]
     rng = np.random.RandomState(0)
     ace = rng.randn(num_items, 8).astype(np.float32)
+    # category0 ids EXCEED the schema's default cardinality (41): the
+    # trainer must size the article towers from the ACR label encoders
+    # (first pickle element) or flax's Embed fills the out-of-range rows
+    # with NaN (mode="fill") and the whole run trains on NaN loss — the
+    # full-scale pseudo-Adressa campaign caught exactly this.
     metadata = {
-        "category0": rng.randint(0, 4, num_items),
+        "category0": rng.randint(0, 60, num_items),
         "category1": rng.randint(0, 8, num_items),
         "author": rng.randint(0, 5, num_items),
         "created_at_ts": np.zeros(num_items, np.int64),
     }
+    label_encoders = {
+        "category0": {f"c{i}": i for i in range(60)},
+        "category1": {f"s{i}": i for i in range(8)},
+        "author": {f"a{i}": i for i in range(5)},
+    }
     with open(tmp_path / "ace.pickle", "wb") as f:
-        pickle.dump(({}, metadata, ace), f)
+        pickle.dump((label_encoders, metadata, ace), f)
 
     model_dir = tmp_path / "model"
     nar_trainer_adressa.main(
@@ -171,3 +181,16 @@ def test_adressa_chain(raw, tmp_path):
         ]
     )
     assert (model_dir / "eval_stats_benchmarks.csv").exists()
+    # NaN regression guard: with an undersized article cardinality every
+    # parameter goes NaN within one optimizer step — assert the saved
+    # checkpoint is finite.
+    with open(model_dir / "checkpoint.pkl", "rb") as f:
+        ckpt = pickle.load(f)
+    import jax as _jax
+    leaves = _jax.tree_util.tree_leaves(ckpt["state"])
+    assert leaves
+    for leaf in leaves:
+        arr = np.asarray(leaf)
+        if arr.dtype.kind == "f":
+            assert np.isfinite(arr).all(), "NaN params - cardinality regression"
+
