@@ -66,6 +66,10 @@ def main(argv=None):
     p.add_argument("--enabled_articles_input_features_groups", default="ALL",
                    help="comma list of category,author, or ALL/NONE")
     p.add_argument("--disable_eval_benchmarks", action="store_true")
+    p.add_argument("--eval_cold_start", action="store_true")
+    p.add_argument("--save_eval_sessions_negative_samples", action="store_true")
+    p.add_argument("--save_eval_sessions_recommendations", action="store_true")
+    p.add_argument("--resume_checkpoint", default="")
     p.add_argument("--save_scalars", action="store_true",
                    help="write per-step train scalars to train_scalars.jsonl")
     p.add_argument("--save_histograms", action="store_true",
@@ -205,10 +209,15 @@ def main(argv=None):
     harness = TemporalHarness(
         cfg, run_cfg, session_schema, article_schema, ace, metadata,
         benchmarks=() if args.disable_eval_benchmarks else default_benchmarks(ace),
+        log_negative_samples=args.save_eval_sessions_negative_samples,
+        log_recommendations=args.save_eval_sessions_recommendations,
+        eval_cold_start=args.eval_cold_start,
         mesh_plan=mesh_plan,
         save_scalars=args.save_scalars,
         save_histograms=args.save_histograms,
     )
+    if args.resume_checkpoint:
+        harness.load_checkpoint(args.resume_checkpoint)
 
     def hour_source(hour_idx):
         return read_sessions_tfrecord(files[hour_idx], session_schema)
