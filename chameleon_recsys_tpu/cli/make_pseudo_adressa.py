@@ -26,9 +26,15 @@ def main(argv=None):
     p.add_argument("--vocab_size", type=int, default=20_000)
     p.add_argument("--seed", type=int, default=11)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--regime", choices=("legacy", "mixed"), default="legacy",
+                   help="'mixed' = hardened mixed-behavior stream "
+                   "(category Markov hops, popularity-only sessions; "
+                   "data/pseudo_g1.py)")
     args = p.parse_args(argv)
 
-    spec = PseudoAdressaSpec(
+    ctor = (PseudoAdressaSpec.mixed if args.regime == "mixed"
+            else PseudoAdressaSpec)
+    spec = ctor(
         num_articles=args.num_articles,
         hours=args.hours,
         mean_sessions_per_hour=args.sessions_per_hour,

@@ -27,9 +27,15 @@ def main(argv=None):
     parser.add_argument("--ace_dim", type=int, default=250)
     parser.add_argument("--seed", type=int, default=7)
     parser.add_argument("--num_workers", type=int, default=1)
+    parser.add_argument("--regime", choices=("legacy", "mixed"),
+                        default="legacy",
+                        help="'mixed' = hardened mixed-behavior stream "
+                        "(category Markov hops, popularity-only sessions, "
+                        "noised ACE; data/pseudo_g1.py)")
     args = parser.parse_args(argv)
 
-    spec = PseudoG1Spec(
+    ctor = PseudoG1Spec.mixed if args.regime == "mixed" else PseudoG1Spec
+    spec = ctor(
         num_articles=args.num_articles,
         ace_dim=args.ace_dim,
         hours=args.hours,

@@ -65,6 +65,23 @@ class PseudoAdressaSpec:
     words_per_sentence: int = 12
     num_authors: int = 500
     seed: int = 11
+    # mixed-behavior regime passthrough (data/pseudo_g1.py round-5
+    # hardening; legacy defaults keep published streams bit-identical)
+    popularity_only_user_frac: float = 0.0
+    category_selfloop_prob: float = 1.0
+    category_hops: int = 0
+    ace_extra_noise: float = 0.0
+
+    @classmethod
+    def mixed(cls, **overrides) -> "PseudoAdressaSpec":
+        base = dict(
+            popularity_only_user_frac=0.25,
+            category_selfloop_prob=0.5,
+            category_hops=3,
+            ace_extra_noise=0.5,
+        )
+        base.update(overrides)
+        return cls(**base)
 
     def g1_spec(self) -> PseudoG1Spec:
         return PseudoG1Spec(
@@ -73,6 +90,10 @@ class PseudoAdressaSpec:
             hours=self.hours,
             mean_sessions_per_hour=self.mean_sessions_per_hour,
             seed=self.seed,
+            popularity_only_user_frac=self.popularity_only_user_frac,
+            category_selfloop_prob=self.category_selfloop_prob,
+            category_hops=self.category_hops,
+            ace_extra_noise=self.ace_extra_noise,
         )
 
 

@@ -56,6 +56,38 @@ class PseudoG1Spec:
     follow_category_prob: float = 0.75
     max_session_length: int = 20
     seed: int = 7
+    # --- mixed-behavior regime (round-5 hardening) -----------------------
+    # With the legacy defaults below the stream is bit-identical to the
+    # published round-4 campaigns.  The "mixed" preset makes the stream
+    # discriminative between single-signal recommenders and the fused
+    # model: next-click then depends on (a) a category-level Markov hop
+    # structure no pure item-similarity recommender can express, (b) a
+    # fraction of popularity-only sessions, and (c) ACE rows whose
+    # category correlation carries extra noise.
+    popularity_only_user_frac: float = 0.0  # sessions ignoring categories
+    category_selfloop_prob: float = 1.0     # within "stay": P(next cat == cur)
+    category_hops: int = 0                  # preferred next-cats per category
+    ace_extra_noise: float = 0.0            # extra per-item ACE noise scale
+
+    @classmethod
+    def mixed(cls, **overrides) -> "PseudoG1Spec":
+        """The hardened mixed-behavior preset (RESULTS.md round-5 streams)."""
+        base = dict(
+            popularity_only_user_frac=0.25,
+            category_selfloop_prob=0.5,
+            category_hops=3,
+            ace_extra_noise=0.5,
+        )
+        base.update(overrides)
+        return cls(**base)
+
+    @property
+    def is_mixed(self) -> bool:
+        return (
+            self.popularity_only_user_frac > 0
+            or self.category_selfloop_prob < 1.0
+            or self.category_hops > 0
+        )
 
 
 @dataclass
@@ -66,6 +98,7 @@ class PseudoG1Articles:
     ace: np.ndarray             # [A+1, D] float32, row 0 = 0
     cat_order: np.ndarray       # article ids sorted by category
     cat_bounds: np.ndarray      # [num_categories+2] segment starts in cat_order
+    cat_hops: np.ndarray = None  # [C+1, hops] preferred next-categories
 
 
 def make_pseudo_g1_articles(spec: PseudoG1Spec) -> PseudoG1Articles:
@@ -101,14 +134,33 @@ def make_pseudo_g1_articles(spec: PseudoG1Spec) -> PseudoG1Articles:
     ace = 0.8 * centroids[categories] + 0.2 * noise
     ace += 0.15 * noise
     ace /= np.maximum(np.linalg.norm(ace, axis=1, keepdims=True), 1e-9)
+    if spec.ace_extra_noise > 0:
+        # mixed regime: decorrelate content similarity from category (drawn
+        # AFTER the legacy draws so legacy streams stay bit-identical)
+        extra = rng.randn(n, spec.ace_dim).astype(np.float32)
+        extra /= np.maximum(np.linalg.norm(extra, axis=1, keepdims=True), 1e-9)
+        ace = ace + spec.ace_extra_noise * extra
+        ace /= np.maximum(np.linalg.norm(ace, axis=1, keepdims=True), 1e-9)
     ace[0] = 0.0
 
     cat_order = np.argsort(categories, kind="stable")
     cat_bounds = np.searchsorted(
         categories[cat_order], np.arange(spec.num_categories + 2)
     )
+    cat_hops = None
+    if spec.category_hops > 0:
+        # per-category preferred next-categories: a sparse category-level
+        # Markov structure that a content-aware SEQUENCE model can learn
+        # from ACE signatures but pure item-similarity cannot express
+        hop_rng = np.random.RandomState(spec.seed + 777)
+        cat_hops = hop_rng.randint(
+            1, spec.num_categories + 1,
+            size=(spec.num_categories + 1, spec.category_hops),
+        ).astype(np.int64)
+        cat_hops[0] = 0
     return PseudoG1Articles(
-        categories, created_at_ms, popularity, ace, cat_order, cat_bounds
+        categories, created_at_ms, popularity, ace, cat_order, cat_bounds,
+        cat_hops,
     )
 
 
@@ -165,6 +217,9 @@ def generate_hour_clicks(
 
     # step-synchronous walk: one vectorized draw per step over all sessions
     # still active at that step
+    mixed = spec.is_mixed
+    if mixed:
+        pop_only = rng.random_sample(n_sessions) < spec.popularity_only_user_frac
     items = np.zeros((n_sessions, spec.max_session_length), dtype=np.int64)
     items[:, 0] = draw_global(n_sessions)
     for step in range(1, int(lengths.max())):
@@ -174,6 +229,15 @@ def generate_hour_clicks(
         cur = items[active, step - 1]
         cats = arts.categories[cur]
         stay = rng.random_sample(active.size) < spec.follow_category_prob
+        if mixed:
+            stay &= ~pop_only[active]
+            # category-level Markov hop: with p = 1 - selfloop the "stay"
+            # branch moves to one of the category's preferred next-cats
+            if arts.cat_hops is not None:
+                hop = rng.random_sample(active.size) >= spec.category_selfloop_prob
+                choice = rng.randint(0, spec.category_hops, size=active.size)
+                hop &= stay
+                cats = np.where(hop, arts.cat_hops[cats, choice], cats)
         stay &= cat_total[cats] > 0
         nxt = np.empty(active.size, dtype=np.int64)
         if (~stay).any():
