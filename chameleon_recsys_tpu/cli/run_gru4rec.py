@@ -24,7 +24,7 @@ from ..baselines.neural_runner import (
     NeuralBaselineRunner,
     load_eval_negative_samples,
 )
-from ..config import NARConfig, gcom_session_schema
+from ..config import FeatureSpec, NARConfig, SessionFeaturesSchema
 from ..data.sessions import read_sessions_tfrecord
 from ..metrics.evaluation import create_eval_metrics
 from ..utils.io import save_eval_benchmark_metrics_csv
@@ -67,7 +67,23 @@ def run_from_args(args, model_factory=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
-    schema = gcom_session_schema(num_items=args.num_items)
+    # The external baselines consume only item ids, timestamps and session
+    # boundaries (run_gru4rec.py:141-268 — no context features), so the
+    # runner uses a dataset-agnostic minimal schema: the same session
+    # TFRecords work whether they came from the G1 or the Adressa
+    # preprocessor (whose context-feature sets differ).
+    schema = SessionFeaturesSchema(
+        single=(
+            FeatureSpec("user_id", "categorical", 1),
+            FeatureSpec("session_id", "numerical", dtype="int"),
+            FeatureSpec("session_start", "numerical", dtype="int"),
+            FeatureSpec("session_size", "numerical", dtype="int"),
+        ),
+        sequence=(
+            FeatureSpec("event_timestamp", "numerical", dtype="int"),
+            FeatureSpec("item_clicked", "categorical", args.num_items),
+        ),
+    )
     files = sorted(glob.glob(args.train_set_path_regex))
     if not files:
         raise SystemExit(f"no session files match {args.train_set_path_regex}")

@@ -173,7 +173,14 @@ class NARModel(nn.Module):
                 name="item_clicked_embedding",
             )
 
-        def item_features(item_ids, ref_ts):
+        def shared_item_feats(item_ids):
+            """Param-bearing, element-wise features (metadata towers, ACE,
+            trainable id embedding).  Callable ONCE on the concatenation of
+            every id set used in a step: each shared parameter then has a
+            single partial-gradient producer, so GSPMD emits ONE data-axis
+            all-reduce per parameter instead of one per use (round-4
+            COLLECTIVES.json showed the fused gradient tuple carrying ~2x
+            the parameter bytes for exactly this reason)."""
             feats = []
             if metadata_towers is not None:
                 gathered = {
@@ -185,15 +192,28 @@ class NARModel(nn.Module):
                 feats.append(aux.ace_matrix[item_ids].astype(dtype))
             if item_embed is not None:
                 feats.append(item_embed(item_ids))
+            return feats
+
+        def dynamic_item_feats(item_ids, ref_ts):
+            """Param-free per-use features (recency/novelty) — keeping these
+            per call preserves the reference's buffer-empty fallback stats,
+            which are computed over each call's own id multiset."""
+            feats = []
             if cfg.internal_features.recency:
                 feats.append(
                     self._recency_feature(item_ids, ref_ts, aux).astype(dtype)
                 )
             if cfg.internal_features.novelty:
                 feats.append(self._novelty_feature(item_ids, aux).astype(dtype))
+            return feats
+
+        def item_features(item_ids, ref_ts):
+            feats = shared_item_feats(item_ids) + dynamic_item_feats(
+                item_ids, ref_ts
+            )
             return jnp.concatenate(feats, axis=-1)
 
-        return item_features
+        return item_features, shared_item_feats, dynamic_item_feats
 
     # -- forward ------------------------------------------------------------
     @nn.compact
@@ -274,15 +294,66 @@ class NARModel(nn.Module):
             return x * gamma + beta
 
         dropout = nn.Dropout(rate=1.0 - cfg.keep_prob)
-        item_features = self._make_item_features_fn(aux)
+        item_features, shared_item_feats, dynamic_item_feats = (
+            self._make_item_features_fn(aux)
+        )
 
-        input_item_feats = item_features(item_clicked, event_ts)
-        input_feats = scale_center(jnp.concatenate([user_ctx, input_item_feats], -1))
-        input_feats = dropout(input_feats, deterministic=not train)
+        # Pooled scoring is decided here (used again below): every negative
+        # comes from the shared candidate pool, exact when feature dropout
+        # is inactive (the reproduction configs run keep_prob=1.0).
+        pooled = neg_pool is not None and (not train or cfg.keep_prob >= 1.0)
 
-        pos_item_feats = item_features(next_item_label, max_event_ts)
-        pos_feats = scale_center(jnp.concatenate([user_ctx, pos_item_feats], -1))
-        pos_feats = dropout(pos_feats, deterministic=not train)
+        # ---- item features, ONE shared-parameter pass ----
+        # The step uses item features at three places (clicked sequence,
+        # positive labels, candidate pool).  Computing the param-bearing
+        # features over the concatenated id vector gives every shared
+        # parameter a single partial-gradient producer, which under a data
+        # mesh halves the gradient all-reduce payload (PERFORMANCE.md
+        # §collectives; round-4 accounting measured 70.5 MB vs 34.6 MB of
+        # parameters because each use produced its own all-reduce).
+        flat_in = item_clicked.reshape(-1)
+        flat_pos = next_item_label.reshape(-1)
+        bt = flat_in.shape[0]
+        # The candidate POOL gather stays a separate call: merging its ids
+        # into this one entangles the pool-row chain's sharding with the
+        # batch chain under a (data x model) mesh and GSPMD then reduces
+        # [rows, K, CAR]-sized activation gradients across the model axis
+        # (measured: 52 MB/step at the G1 4x2 config vs 5 MB for the
+        # separate-call layout).
+        ids_all = jnp.concatenate([flat_in, flat_pos])
+        shared_all = shared_item_feats(ids_all)
+        shared_all = (
+            jnp.concatenate(shared_all, axis=-1) if shared_all else None
+        )
+
+        def shared_slice(lo, hi, shape):
+            if shared_all is None:
+                return []
+            return [shared_all[lo:hi].reshape(shape + (shared_all.shape[-1],))]
+
+        input_item_feats = jnp.concatenate(
+            shared_slice(0, bt, (b, t))
+            + dynamic_item_feats(item_clicked, event_ts),
+            axis=-1,
+        )
+        pos_item_feats = jnp.concatenate(
+            shared_slice(bt, 2 * bt, (b, t))
+            + dynamic_item_feats(next_item_label, max_event_ts),
+            axis=-1,
+        )
+
+        # ---- input/positive towers in ONE stacked pass (same motivation:
+        # one partial gradient per γ/β, PreCAR and CAR parameter) ----
+        stacked_feats = scale_center(
+            jnp.stack(
+                [
+                    jnp.concatenate([user_ctx, input_item_feats], -1),
+                    jnp.concatenate([user_ctx, pos_item_feats], -1),
+                ]
+            )
+        )
+        stacked_feats = dropout(stacked_feats, deterministic=not train)
+        input_feats, pos_feats = stacked_feats[0], stacked_feats[1]
 
         # ---- shared CAR towers (nar_model.py:374-405) ----
         # Explicit kernels (not nn.Dense) so the pooled negative path below
@@ -308,8 +379,8 @@ class NARModel(nn.Module):
                                 negative_slope=_LEAKY_ALPHA)
             return jnp.tanh(pre @ car_kernel + car_bias)
 
-        input_car = car_tower(input_feats)  # [B, T, C]
-        pos_car = car_tower(pos_feats)  # [B, T, C]
+        stacked_car = car_tower(stacked_feats)  # [2, B, T, C]
+        input_car, pos_car = stacked_car[0], stacked_car[1]
 
         # Serving fast path: score candidates at ONE position per session
         # (the next-click prediction point) instead of broadcasting the same
@@ -357,7 +428,6 @@ class NARModel(nn.Module):
             ctx_for_neg = user_ctx
             t_neg = t
 
-        pooled = neg_pool is not None and (not train or cfg.keep_prob >= 1.0)
         if pooled:
             # Pooled scoring: every negative comes from the shared candidate
             # pool, so per-item features and the item half of the PreCAR
@@ -480,8 +550,11 @@ class NARModel(nn.Module):
             pred_for_neg = predicted_emb
             pos_for_neg = pos_car
 
-        # [B, T_neg] (grid) / [M] (compacted)
-        pos_score = match_score(pos_for_neg * pred_for_neg)
+        # [B, T_neg] (grid) / [M] (compacted).  In the non-fused paths the
+        # positive rides the candidate axis so the matching MLP runs (and
+        # back-propagates) ONCE — one partial gradient per matching kernel.
+        if fused_scorer:
+            pos_score = match_score(pos_for_neg * pred_for_neg)
         if fused_scorer:
             # One Pallas program for gatherd-row PreCAR + CAR + matching MLP:
             # nothing [rows, K, C]-shaped ever reaches HBM
@@ -505,13 +578,21 @@ class NARModel(nn.Module):
                 neg_score if flat_rows else neg_score.reshape(b, t_neg, k)
             )
         elif flat_rows:
-            neg_score = match_score(
-                neg_car * pred_for_neg[:, None, :]
-            )  # [M, K]
+            cand_car = jnp.concatenate(
+                [pos_for_neg[:, None, :], neg_car], axis=1
+            )  # [M, 1+K, C]
+            all_scores = match_score(
+                cand_car * pred_for_neg[:, None, :]
+            )  # [M, 1+K]
+            pos_score, neg_score = all_scores[..., 0], all_scores[..., 1:]
         else:
-            neg_score = match_score(
-                neg_car * pred_for_neg[:, :, None, :]
-            )  # [B, T_neg, K]
+            cand_car = jnp.concatenate(
+                [pos_for_neg[:, :, None, :], neg_car], axis=2
+            )  # [B, T_neg, 1+K, C]
+            all_scores = match_score(
+                cand_car * pred_for_neg[:, :, None, :]
+            )  # [B, T_neg, 1+K]
+            pos_score, neg_score = all_scores[..., 0], all_scores[..., 1:]
 
         scores = jnp.concatenate([pos_score[..., None], neg_score], axis=-1)
         scores = scores.astype(jnp.float32) / cfg.softmax_temperature
