@@ -104,3 +104,46 @@ def test_bundle_deterministic_and_cli_compatible(tmp_path):
     )
     assert len(sessions) > 10
     assert all(len(s.item_ids) >= 2 for s in sessions)
+
+
+def test_mixed_regime_changes_behavior_but_legacy_is_frozen():
+    """Round-5 mixed-behavior regime: popularity-only sessions + category
+    Markov hops reduce same-category transitions; legacy defaults keep the
+    published streams bit-identical (frozen hash over a generated hour)."""
+    import hashlib
+
+    legacy = make_pseudo_g1_articles(SPEC)
+    cols = generate_hour_clicks(SPEC, legacy, 2)
+    h = hashlib.sha256()
+    for k in sorted(cols):
+        h.update(np.ascontiguousarray(cols[k]).tobytes())
+    # frozen digest of the legacy stream at this spec (any change to the
+    # default-path draws breaks published campaign reproducibility)
+    assert h.hexdigest().startswith("11a0809740"), h.hexdigest()
+
+    mixed_spec = PseudoG1Spec.mixed(
+        num_articles=400, num_categories=12, ace_dim=16, hours=6,
+        mean_sessions_per_hour=60, num_users=500, seed=3,
+    )
+    assert mixed_spec.is_mixed and not SPEC.is_mixed
+    mixed = make_pseudo_g1_articles(mixed_spec)
+    assert mixed.cat_hops is not None
+    assert mixed.cat_hops.shape == (13, 3) and mixed.cat_hops[0].max() == 0
+
+    def same_cat_frac(spec, arts):
+        c = generate_hour_clicks(spec, arts, 2)
+        frac_same = 0
+        total = 0
+        bysess = {}
+        for sid, item in zip(c["session_id"], c["click_article_id"]):
+            bysess.setdefault(sid, []).append(arts.categories[item])
+        for seq in bysess.values():
+            for a, b in zip(seq, seq[1:]):
+                frac_same += a == b
+                total += 1
+        return frac_same / total
+
+    f_legacy = same_cat_frac(SPEC, legacy)
+    f_mixed = same_cat_frac(mixed_spec, mixed)
+    assert f_legacy > 0.55  # the 0.75 category-stay signal
+    assert f_mixed < f_legacy - 0.2  # hops + popularity-only users bite
