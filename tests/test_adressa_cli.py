@@ -194,3 +194,113 @@ def test_adressa_chain(raw, tmp_path):
         if arr.dtype.kind == "f":
             assert np.isfinite(arr).all(), "NaN params - cardinality regression"
 
+
+
+def test_adressa_trainer_resume_and_export_flags(raw, tmp_path):
+    """Round-5 flags: --save_eval_sessions_negative_samples /
+    --save_eval_sessions_recommendations / --eval_cold_start produce their
+    artifacts, and --resume_checkpoint restores the full unit (the second
+    run continues from the checkpoint instead of re-initializing)."""
+    from chameleon_recsys_tpu.cli import (
+        acr_preprocess_adressa,
+        nar_preprocess_adressa,
+        nar_trainer_adressa,
+    )
+
+    root, _ = raw
+    acr_out = tmp_path / "acr"
+    acr_preprocess_adressa.main(
+        [
+            "--input_articles_json_path", str(root / "articles.jsonl"),
+            "--input_word_embeddings_path", str(root / "w2v.txt"),
+            "--output_dir", str(acr_out),
+            "--truncate_tokens_length", "12",
+            "--min_label_freq", "1",
+        ]
+    )
+    sess_dir = tmp_path / "sessions"
+    nar_preprocess_adressa.main(
+        [
+            "--input_clicks_json_path", str(root / "clicks.jsonl"),
+            "--output_sessions_tfrecords_path",
+            str(sess_dir / "sessions_hour_*.tfrecord.gz"),
+            "--output_nar_preprocessing_resources_path",
+            str(tmp_path / "nar_resources.pickle"),
+        ]
+    )
+    import pickle as pkl
+
+    import numpy as np
+
+    with open(tmp_path / "nar_resources.pickle", "rb") as f:
+        num_items = pkl.load(f)["cardinalities"]["item_clicked"]
+    rng = np.random.RandomState(1)
+    ace = rng.randn(num_items, 8).astype(np.float32)
+    metadata = {
+        "category0": rng.randint(0, 60, num_items),
+        "category1": rng.randint(0, 8, num_items),
+        "author": rng.randint(0, 5, num_items),
+        "created_at_ts": np.zeros(num_items, np.int64),
+    }
+    encoders = {
+        "category0": {f"c{i}": i for i in range(60)},
+        "category1": {f"s{i}": i for i in range(8)},
+        "author": {f"a{i}": i for i in range(5)},
+    }
+    with open(tmp_path / "ace.pickle", "wb") as f:
+        pkl.dump((encoders, metadata, ace), f)
+
+    common = [
+        "--acr_module_resources_path", str(tmp_path / "ace.pickle"),
+        "--nar_module_preprocessing_resources_path",
+        str(tmp_path / "nar_resources.pickle"),
+        "--training_hours_for_each_eval", "1",
+        "--batch_size", "8", "--truncate_session_length", "6",
+        "--CAR_embedding_size", "16", "--rnn_units", "10",
+        "--train_total_negative_samples", "3",
+        "--train_negative_samples_from_buffer", "16",
+        "--eval_total_negative_samples", "3",
+        "--eval_negative_samples_from_buffer", "16",
+        "--eval_metrics_top_n", "3",
+        "--recent_clicks_buffer_max_size", "64",
+        "--recent_clicks_for_normalization", "32",
+        "--compute_dtype", "float32",
+    ]
+    import glob as _glob
+    import os as _os
+
+    all_files = sorted(_glob.glob(str(sess_dir / "sessions_hour_*.tfrecord.gz")))
+    assert len(all_files) >= 3
+    part = tmp_path / "sessions_part"
+    part.mkdir()
+    for f in all_files[:-1]:  # hold the last hour back for the resume leg
+        _os.symlink(f, part / _os.path.basename(f))
+    m1 = tmp_path / "m1"
+    nar_trainer_adressa.main(
+        ["--train_set_path_regex", str(part / "sessions_hour_*.tfrecord.gz"),
+         "--model_dir", str(m1),
+         "--eval_cold_start",
+         "--save_eval_sessions_negative_samples",
+         "--save_eval_sessions_recommendations"] + common
+    )
+    assert (m1 / "eval_sessions_negative_samples.json").exists()
+    assert (m1 / "eval_chameleon_recommendations_log.json").exists()
+    import csv
+
+    rows = list(csv.DictReader(open(m1 / "eval_stats_benchmarks.csv")))
+    assert any(k.startswith("coldstart_") for k in rows[0])
+
+    # resume: restored unit keeps the hour cursor + stream state
+    m2 = tmp_path / "m2"
+    nar_trainer_adressa.main(
+        ["--train_set_path_regex", str(sess_dir / "sessions_hour_*.tfrecord.gz"),
+         "--model_dir", str(m2),
+         "--resume_checkpoint", str(m1 / "checkpoint.pkl")] + common
+    )
+    with open(m2 / "checkpoint.pkl", "rb") as f:
+        c2 = pkl.load(f)
+    with open(m1 / "checkpoint.pkl", "rb") as f:
+        c1 = pkl.load(f)
+    # the resumed run continued training: its optimizer step counter
+    # advanced past the checkpoint's
+    assert int(np.asarray(c2["state"].step)) > int(np.asarray(c1["state"].step))
