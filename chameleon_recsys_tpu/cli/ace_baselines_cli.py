@@ -89,6 +89,14 @@ def main(argv=None):
     articles = load_article_arrays(files, args.truncate_tokens_length)
     vocab, word_embeddings = deserialize(args.input_word_vocab_embeddings_path)
     label_encoders = deserialize(args.input_label_encoders_path)
+    # The preprocessing pickle wraps the per-feature encoders as
+    # {"encoders": {...}, "class_weights": {...}}; the NAR handoff contract
+    # (acr/trainer.py::export_ace_pickle and the reference
+    # acr_trainer_*.py:250-254) stores the FLAT encoders dict — the NAR
+    # trainer derives article-feature cardinalities from its keys, and the
+    # wrapper keys silently yield undersized embedding tables (NaN rows).
+    if isinstance(label_encoders, dict) and "encoders" in label_encoders:
+        label_encoders = label_encoders["encoders"]
 
     # ACE row i must be article id i: sort and check the contiguity
     # invariant like the neural trainer (acr/trainer.py::build_ace_matrix)
