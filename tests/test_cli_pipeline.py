@@ -268,3 +268,8 @@ def test_ace_baselines_cli(raw_data, tmp_path, method, dim):
     )
     assert list(metadata["article_id"][:3]) == [0, 1, 2]
     assert "category_id" in label_encoders
+    # the handoff must carry the FLAT per-feature encoder dict, never the
+    # preprocessing {encoders, class_weights} wrapper — the NAR trainer
+    # derives article-feature cardinalities from these keys and wrapper
+    # keys yield undersized (NaN-producing) embedding tables
+    assert "encoders" not in label_encoders
