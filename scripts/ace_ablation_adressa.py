@@ -41,6 +41,13 @@ ABLATION_FEATURES = {
     "no_ace": "recency,novelty,item_clicked_embeddings",
     "no_recency": "novelty,article_content_embeddings,item_clicked_embeddings",
     "no_novelty": "recency,article_content_embeddings,item_clicked_embeddings",
+    # no article-side content AT ALL: ACE off AND the category/author
+    # metadata towers off (the metadata features otherwise carry the
+    # category signal, masking the ACE contribution)
+    "no_content": "recency,novelty,item_clicked_embeddings",
+}
+ROW_EXTRA_ARGS = {
+    "no_content": ["--enabled_articles_input_features_groups", "NONE"],
 }
 ACE_METHODS = ("cnn", "sdae", "lsa", "w2v_tfidf", "doc2vec")
 DEFAULT_ROWS = list(ACE_METHODS) + list(ABLATION_FEATURES)
@@ -155,7 +162,8 @@ def main():
                 "--eval_total_negative_samples", "7", "--eval_metrics_top_n", "5",
                 "--train_valid_row_capacity", str(args.capacity),
                 "--enabled_internal_features", feats,
-                "--disable_eval_benchmarks"],
+                "--disable_eval_benchmarks"]
+               + ROW_EXTRA_ARGS.get(row, []),
                os.path.join(out_dir, f"nar_{row}.log"))
         summary[row] = aggregate(csv_path)
         summary[row]["wall_s"] = round(time.time() - t0, 1)
